@@ -1,0 +1,226 @@
+"""Pipeline configuration.
+
+TPU-native re-design of the reference node's rosparam surface
+(reference: minibot_cr18/src/obstacle_detection.cpp:940-975 reads ~20 params via
+``nh.param``; values come from minibot_cr18/params.yaml via the launch file).
+
+Everything here is resolved *before* trace time: shapes, thresholds and
+capacities are compile-time constants, so each distinct config compiles one XLA
+program.  The reference's runtime-global mutable parameters
+(obstacle_detection.cpp:82-118) become a frozen dataclass.
+
+Known reference quirks that are represented explicitly (SURVEY.md §5):
+
+* ``plane_segment_angle`` is an integer number of *degrees* in params.yaml but
+  is passed to ``pcl::SACSegmentation::setEpsAngle`` which expects *radians*
+  (obstacle_detection.cpp:371, :970).  20 rad makes the perpendicular-plane
+  constraint vacuous, i.e. the node behaves as plain RANSAC plane.  We model
+  this with ``pcl_compat_eps_angle_bug``: when True (default, fidelity mode)
+  the axis constraint uses ``plane_segment_angle`` interpreted as radians;
+  when False the angle is properly converted from degrees.
+* params.yaml has the typo ``downsame_input_data`` (params.yaml:15) so the
+  C++ default ``true`` always wins (obstacle_detection.cpp:943); the flag (and
+  ``passthrough_filter_enable``) is read but never consulted.  We keep the
+  flags and actually honor them.
+* Grid dimensions are derived as ``ceil((|min| + |max|) / block_size)``
+  (obstacle_detection.cpp:958-959) — note the absolute values, reproduced here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Mapping
+
+__all__ = ["PipelineConfig", "REFERENCE_YAML_CONFIG", "config_from_dict"]
+
+
+def _cdiv(a: float, b: float) -> int:
+    return int(math.ceil(a / b))
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration for the scan→obstacles pipeline.
+
+    Field defaults mirror the C++ ``nh.param`` defaults
+    (obstacle_detection.cpp:940-975), *not* params.yaml; use
+    :data:`REFERENCE_YAML_CONFIG` for the shipped robot configuration.
+    """
+
+    # ---- crop box, world frame (params.yaml:2-7; cpp:948-953) -------------
+    x_min: float = -1.0
+    x_max: float = 1.0
+    y_min: float = -0.5
+    y_max: float = 0.6
+    z_min: float = 0.0
+    z_max: float = -0.5  # cpp default quirk: z_min > z_max rejects everything
+
+    # ---- accumulation (cpp:940) -------------------------------------------
+    accumulate_count: int = 2
+
+    # ---- occupancy grid / hole detection (cpp:955-956, :946) --------------
+    block_size: float = 0.15
+    dev_percent: float = 0.5
+    grid_opacity: int = 0
+
+    # ---- downsampling (cpp:943, :964) --------------------------------------
+    downsample_input_data: bool = True
+    downsample_leaf_size: float = 0.015
+
+    # ---- passthrough (cpp:944; dead code path :298-314) --------------------
+    passthrough_filter_enable: bool = True
+
+    # ---- statistical outlier removal (cpp:966-967) -------------------------
+    statistical_outlier_mean_k: int = 15
+    statistical_outlier_std_dev_thresh: float = 1.0
+
+    # ---- RANSAC plane segmentation (cpp:969-970, :364-399) -----------------
+    plane_segment_dist_thresh: float = 0.040
+    plane_segment_angle: float = 20.0
+    pcl_compat_eps_angle_bug: bool = True
+    plane_min_remaining_frac: float = 0.3  # while-loop gate, cpp:379
+    ransac_hypotheses: int = 128  # batched hypotheses scored per round
+    ransac_refine_iters: int = 2  # inlier LSQ refinement passes (setOptimizeCoefficients, cpp:365)
+    max_planes: int = 4  # static bound on the multi-plane while loop
+
+    # ---- euclidean clustering (cpp:972-974) ---------------------------------
+    euc_cluster_tolerance: float = 0.4
+    euc_min_cluster_size: int = 5
+    euc_max_cluster_size: int = 20000
+
+    # ---- dormant/unused reference knobs kept for API parity ----------------
+    convex_hull_alpha: float = 180.0  # read at cpp:975, never used
+    publish_point_clouds: bool = True  # gates per-stage cloud outputs (cpp:945)
+
+    # ---- TPU static capacities (no reference analog: PCL is dynamic) -------
+    max_points: int = 131072  # capacity of the accumulated, cropped cloud
+    max_voxels: int = 16384  # capacity after VoxelGrid downsample
+    cluster_capacity: int = 4096  # capacity of the post-plane obstacle cloud
+    max_clusters: int = 64  # max clusters reported (PointIndicesArray capacity)
+    shadow_max_lines: int = 32  # static bound on per-cluster line sweep (cpp:653)
+    shadow_max_steps: int = 256  # static bound on Bresenham steps (cpp:500,520)
+    cluster_max_iters: int = 64  # static bound on label-propagation sweeps
+
+    # ------------------------------------------------------------------ grid
+    @property
+    def grid_width(self) -> int:
+        """obstacle_detection.cpp:958 (note the |.| quirk)."""
+        return _cdiv(abs(self.y_min) + abs(self.y_max), self.block_size)
+
+    @property
+    def grid_height(self) -> int:
+        """obstacle_detection.cpp:959."""
+        return _cdiv(abs(self.x_min) + abs(self.x_max), self.block_size)
+
+    @property
+    def grid_size(self) -> int:
+        return self.grid_width * self.grid_height
+
+    @property
+    def eps_angle_radians(self) -> float:
+        """Effective eps angle fed to the perpendicular-plane constraint."""
+        if self.pcl_compat_eps_angle_bug:
+            return float(self.plane_segment_angle)  # degrees misread as radians
+        return math.radians(self.plane_segment_angle)
+
+    def replace(self, **kw: Any) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        if self.max_voxels % 8:
+            raise ValueError("max_voxels should be a multiple of 8 for TPU tiling")
+        if self.cluster_capacity % 8:
+            raise ValueError("cluster_capacity should be a multiple of 8")
+        if self.x_min >= self.x_max or self.y_min >= self.y_max:
+            raise ValueError("degenerate crop box")
+
+
+# params.yaml:1-31 values — the configuration the robot actually shipped with.
+REFERENCE_YAML_CONFIG = PipelineConfig(
+    x_min=0.0,
+    x_max=4.5,
+    y_min=0.0,
+    y_max=3.78,
+    z_min=-0.5,
+    z_max=0.25,
+    accumulate_count=200,
+    block_size=0.0375,
+    dev_percent=0.9,
+    grid_opacity=0,
+    downsample_leaf_size=0.015,
+    statistical_outlier_mean_k=15,
+    statistical_outlier_std_dev_thresh=4.0,
+    plane_segment_dist_thresh=0.040,
+    plane_segment_angle=20,
+    euc_cluster_tolerance=0.4,
+    euc_min_cluster_size=5,
+    euc_max_cluster_size=20000,
+    convex_hull_alpha=180.0,
+)
+
+
+_KEY_MAP = {
+    # params.yaml key -> dataclass field (incl. the reference typo, which we
+    # accept as an alias so the shipped YAML round-trips).
+    "x_min": "x_min",
+    "x_max": "x_max",
+    "y_min": "y_min",
+    "y_max": "y_max",
+    "z_min": "z_min",
+    "z_max": "z_max",
+    "accumulate_count": "accumulate_count",
+    "block_size": "block_size",
+    "dev_percent": "dev_percent",
+    "grid_opacity": "grid_opacity",
+    "downsample_input_data": "downsample_input_data",
+    "downsame_input_data": "downsample_input_data",  # params.yaml:15 typo
+    "downsample_size": "downsample_leaf_size",
+    "passthrough_filter_enable": "passthrough_filter_enable",
+    "statistical_outlier_meanK": "statistical_outlier_mean_k",
+    "statistical_outlier_stdDevThres": "statistical_outlier_std_dev_thresh",
+    "plane_segment_dist_thres": "plane_segment_dist_thresh",
+    "plane_segment_angle": "plane_segment_angle",
+    "euc_cluster_tolerance": "euc_cluster_tolerance",
+    "euc_min_cluster_size": "euc_min_cluster_size",
+    "euc_max_cluster_size": "euc_max_cluster_size",
+    "convex_hull_alpha": "convex_hull_alpha",
+    "publish_point_clouds": "publish_point_clouds",
+}
+
+
+def _flatten(d: Mapping[str, Any]) -> dict:
+    """Flatten the nested rosparam namespaces of params.yaml."""
+    out: dict = {}
+    for k, v in d.items():
+        if isinstance(v, Mapping):
+            out.update(_flatten(v))
+        else:
+            out[k] = v
+    return out
+
+
+def config_from_dict(d: Mapping[str, Any], base: PipelineConfig | None = None) -> PipelineConfig:
+    """Build a config from a (possibly nested, rosparam-style) dict.
+
+    Mirrors the launch-file param resolution: YAML keys override code
+    defaults (obstacle_detection.cpp:940-975); unknown keys are ignored the
+    way rosparam ignores extra parameters.
+    """
+    base = base or PipelineConfig()
+    flat = _flatten(d)
+    kw = {}
+    for key, value in flat.items():
+        field = _KEY_MAP.get(key)
+        if field is not None:
+            kw[field] = value
+    return base.replace(**kw)
+
+
+def config_from_yaml(path: str, base: PipelineConfig | None = None) -> PipelineConfig:
+    """Load a params.yaml-compatible file (L5 config layer equivalent)."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    return config_from_dict(data or {}, base)

@@ -1,0 +1,56 @@
+"""Mask -> dense compaction utilities.
+
+PCL's ``pcl::ExtractIndices`` (obstacle_detection.cpp:374,390-396) splits a
+cloud by an index set into new, shorter clouds.  On TPU, shapes are static:
+"extraction" is a mask update, and when a downstream stage benefits from a
+denser buffer (e.g. clustering over the small post-plane cloud) we compact
+valid points to the front with one stable sort — a gather-friendly pattern
+that beats random scatters on the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import Cloud
+
+__all__ = ["compact", "extract_indices", "CompactResult"]
+
+
+class CompactResult(NamedTuple):
+    cloud: Cloud  # [capacity_out] valid-first compaction
+    count: jax.Array  # [] int32 number of valid points moved
+    source_index: jax.Array  # [capacity_out] int32 index into the input buffer
+    overflow: jax.Array  # [] bool: valid points were dropped
+
+
+def compact(cloud: Cloud, capacity_out: int | None = None) -> CompactResult:
+    """Move valid points to the front; optionally shrink to capacity_out.
+
+    Stable: preserves relative input order, matching PCL's index-order
+    extraction semantics.
+    """
+    n = cloud.capacity
+    capacity_out = capacity_out or n
+    key = jnp.where(cloud.valid, jnp.int32(0), jnp.int32(1))
+    idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    _, perm = lax.sort((key, idx), num_keys=1, is_stable=True)
+    perm = perm[:capacity_out]
+    count = jnp.sum(cloud.valid.astype(jnp.int32))
+    out_valid = lax.broadcasted_iota(jnp.int32, (capacity_out, 1), 0)[:, 0] < count
+    return CompactResult(
+        cloud=Cloud(points=cloud.points[perm], valid=out_valid),
+        count=jnp.minimum(count, capacity_out),
+        source_index=perm,
+        overflow=count > capacity_out,
+    )
+
+
+def extract_indices(cloud: Cloud, keep: jax.Array, negative: bool = False) -> Cloud:
+    """pcl::ExtractIndices as a mask op (setNegative -> ``negative=True``)."""
+    keep = jnp.logical_xor(keep, negative)
+    return Cloud(points=cloud.points, valid=cloud.valid & keep)

@@ -1,0 +1,115 @@
+"""Occupancy grid seeding, hole (crater) detection, and obstacle marking.
+
+Rebuilds ``build_initial_occupancy_grid_dataset``
+(obstacle_detection.cpp:175-269) and the end-of-pipeline obstacle marking
+loop (cpp:823-832) as fused vector ops:
+
+reference                               TPU-native
+--------------------------------------  ---------------------------------
+per-point while-loop cell search         closed-form int cell math
+  (get_occupancy_grid_x_y, cpp:134-150)
+per-point histogram increment loop       one scatter-add
+row-average loops (cpp:226-234)          row-sum reduce + floor div
+hole-marking loop (cpp:241-268)          elementwise compare
+
+The reference's cell search is O(grid-dim) *per point* (two while loops that
+step one block at a time).  Its result is closed-form:
+
+  col(y) = max(0, ceil((y - y_min)/block) - 1)     # cpp:139-143
+  row(x) = max(0, ceil((x_max - x)/block) - 1)     # cpp:144-148
+
+(the loop counts strict inequalities, hence the ceil-minus-one rather than a
+plain floor; they differ only at exact block boundaries).  Note the argument
+swap at the call site (cpp:203): grid *columns* come from world y and *rows*
+from world x, with rows counted downward from x_max.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..types import Cloud
+from .filters import crop_box_mask
+
+__all__ = ["grid_cell_xy", "grid_cell_index", "crop_and_seed", "mark_obstacles", "CropSeedResult"]
+
+
+def grid_cell_xy(points: jax.Array, config: PipelineConfig) -> tuple[jax.Array, jax.Array]:
+    """World (x, y) -> (col, row) occupancy cells.
+
+    Exact closed form of get_occupancy_grid_x_y (obstacle_detection.cpp:
+    134-150) including its boundary behavior, evaluated in float32 as the
+    C++ does.
+    """
+    b = jnp.float32(config.block_size)
+    y = points[..., 1]
+    x = points[..., 0]
+    col = jnp.maximum(0, jnp.ceil((y - jnp.float32(config.y_min)) / b) - 1).astype(jnp.int32)
+    row = jnp.maximum(0, jnp.ceil((jnp.float32(config.x_max) - x) / b) - 1).astype(jnp.int32)
+    return col, row
+
+
+def grid_cell_index(points: jax.Array, config: PipelineConfig) -> jax.Array:
+    """Flat row-major cell index (get_occupancy_grid_location, cpp:153-157)."""
+    col, row = grid_cell_xy(points, config)
+    return row * config.grid_width + col
+
+
+class CropSeedResult(NamedTuple):
+    cloud: Cloud  # same buffer, mask restricted to in-crop finite points
+    counts: jax.Array  # [H, W] int32 per-cell point histogram
+    row_averages: jax.Array  # [H] int32 (long-long floor division, cpp:233)
+    hole_grid: jax.Array  # [H, W] int8: 100 where crater detected, else 0
+
+
+def crop_and_seed(cloud: Cloud, config: PipelineConfig) -> CropSeedResult:
+    """Fused crop + histogram + row-average + hole detection (cpp:175-269).
+
+    Faithful details:
+    * a point whose flat index lands outside the grid is excluded from the
+      histogram but kept in the output cloud (cpp:205-214);
+    * row averages use integer (floor) division by grid_width (cpp:233);
+    * a cell is a hole iff ``count < row_avg * (1 - dev_percent)`` with the
+      float product on the right (cpp:258) — cells in point-free rows have
+      row_avg 0 and are never holes.
+    """
+    H, W = config.grid_height, config.grid_width
+    in_box = cloud.valid & crop_box_mask(cloud.points, config)
+    index = grid_cell_index(cloud.points, config)
+    in_grid = in_box & (index < config.grid_size)
+
+    counts = jnp.zeros((config.grid_size,), jnp.int32)
+    counts = counts.at[jnp.where(in_grid, index, config.grid_size)].add(
+        in_grid.astype(jnp.int32), mode="drop"
+    )
+    counts = counts.reshape(H, W)
+
+    row_averages = (jnp.sum(counts, axis=1) // W).astype(jnp.int32)
+    threshold = row_averages.astype(jnp.float32) * jnp.float32(1.0 - config.dev_percent)
+    hole = counts.astype(jnp.float32) < threshold[:, None]
+    hole_grid = jnp.where(hole, jnp.int8(100), jnp.int8(0))
+
+    return CropSeedResult(
+        cloud=Cloud(points=cloud.points, valid=in_box),
+        counts=counts,
+        row_averages=row_averages,
+        hole_grid=hole_grid,
+    )
+
+
+def mark_obstacles(grid: jax.Array, cloud: Cloud, config: PipelineConfig) -> jax.Array:
+    """Mark every remaining (non-plane) point's cell occupied=100 (cpp:823-832).
+
+    The reference performs this write *without* a bounds check (unlike the
+    histogram path) — an out-of-grid index is undefined behavior in the C++.
+    We drop out-of-range writes instead.
+    """
+    index = grid_cell_index(cloud.points, config)
+    ok = cloud.valid & jnp.all(jnp.isfinite(cloud.points), axis=-1)
+    flat = jnp.asarray(grid).reshape(-1)
+    flat = flat.at[jnp.where(ok, index, config.grid_size)].set(jnp.int8(100), mode="drop")
+    return flat.reshape(grid.shape)

@@ -1,0 +1,112 @@
+"""Statistical outlier removal (pcl::StatisticalOutlierRemoval equivalent).
+
+Reference: remove_statistical_outliers (obstacle_detection.cpp:316-340) wraps
+PCL's two-pass algorithm (SURVEY.md §2.2):
+
+1. for every point, the mean distance to its ``meanK`` nearest neighbors
+   (KD-tree search of k+1 including self, self excluded from the mean);
+2. global sample mean mu and stddev sigma (n-1 estimator) of those mean
+   distances; keep points with ``mean_dist <= mu + stdDevThres * sigma``.
+
+TPU-native design: no KD-tree.  The exact k-nearest distances are computed
+by **tiled brute force on the MXU** — for a row tile Q of queries,
+``D2 = |q|^2 + |p|^2 - 2 Q P^T`` is one [T, N] matmul, and ``lax.top_k``
+extracts the k smallest.  At the post-voxel cloud sizes this pipeline runs
+(N <= max_voxels = 16k), N^2 distances are ~1.6e9 f32 FLOPs — microseconds
+on the MXU and *exact*, versus PCL's pointer-chasing KD-tree.  The cloud is
+centered first: the expansion's cross-term cancellation error scales with
+coordinate magnitude, and centering keeps |p|^2 small.
+
+The [T, N] tiles are produced by a ``lax.map`` over row tiles so the full
+[N, N] distance matrix never materializes in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import Cloud
+
+__all__ = ["knn_mean_distances", "remove_statistical_outliers", "OutlierResult"]
+
+def knn_mean_distances(cloud: Cloud, k: int, row_tile: int = 512) -> jax.Array:
+    """Mean distance to the k nearest valid neighbors for every point.
+
+    Returns [N] float32; entries for invalid points are 0.  Exact (brute
+    force), self-distance excluded, matching pcl::StatisticalOutlierRemoval's
+    searchForNeighbors(k+1)/skip-self convention.
+    """
+    pts = cloud.points
+    n = cloud.capacity
+    valid = cloud.valid
+    row_tile = min(row_tile, n)
+    if n % row_tile:
+        row_tile = n  # fall back to a single tile for odd capacities
+
+    # Center to tame |p|^2-vs-cross-term cancellation in the expansion.
+    denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    center = jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0) / denom
+    # Park invalid points at the center: their *columns* are masked out below,
+    # and keeping coordinates small avoids inf/nan in the expansion.
+    p = jnp.where(valid[:, None], pts - center, 0.0)
+    p_sq = jnp.sum(p * p, axis=-1)
+
+    row_ids = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    def tile_fn(args):
+        q, q_sq, q_ids = args  # [T,3], [T], [T]
+        # [T, N] squared distances on the MXU.
+        d2 = q_sq[:, None] + p_sq[None, :] - 2.0 * jnp.dot(
+            q, p.T, preferred_element_type=jnp.float32
+        )
+        d2 = jnp.maximum(d2, 0.0)
+        # exclude self and invalid columns
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        d2 = jnp.where(q_ids[:, None] == row_ids[None, :], jnp.inf, d2)
+        neg_top, _ = lax.top_k(-d2, k)  # k smallest
+        dk = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
+        finite = jnp.isfinite(dk)
+        s = jnp.sum(jnp.where(finite, dk, 0.0), axis=-1)
+        cnt = jnp.sum(finite.astype(jnp.float32), axis=-1)
+        return s / jnp.maximum(cnt, 1.0)
+
+    tiles = n // row_tile
+    out = lax.map(
+        tile_fn,
+        (
+            p.reshape(tiles, row_tile, 3),
+            p_sq.reshape(tiles, row_tile),
+            row_ids.reshape(tiles, row_tile),
+        ),
+    )
+    return jnp.where(valid, out.reshape(n), 0.0)
+
+
+class OutlierResult(NamedTuple):
+    cloud: Cloud  # same buffer, mask restricted to inliers
+    mean_distances: jax.Array  # [N] float32 per-point kNN mean distance
+    threshold: jax.Array  # [] float32 mu + sigma * mult
+
+
+def remove_statistical_outliers(
+    cloud: Cloud, mean_k: int, std_dev_mult: float, row_tile: int = 512
+) -> OutlierResult:
+    """Full filter (obstacle_detection.cpp:326-330 semantics)."""
+    d = knn_mean_distances(cloud, mean_k, row_tile)
+    valid_f = cloud.valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(valid_f), 2.0)
+    s1 = jnp.sum(d * valid_f)
+    s2 = jnp.sum(d * d * valid_f)
+    mu = s1 / n
+    var = jnp.maximum((s2 - n * mu * mu) / (n - 1.0), 0.0)  # PCL's n-1 estimator
+    threshold = mu + jnp.float32(std_dev_mult) * jnp.sqrt(var)
+    keep = cloud.valid & (d <= threshold)
+    return OutlierResult(
+        cloud=Cloud(points=cloud.points, valid=keep),
+        mean_distances=d,
+        threshold=threshold,
+    )

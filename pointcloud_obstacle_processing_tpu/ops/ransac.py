@@ -1,0 +1,189 @@
+"""RANSAC perpendicular-plane segmentation (pcl::SACSegmentation equivalent).
+
+Reference: segment_plane_and_extract_indices (obstacle_detection.cpp:342-428)
+configures ``SACMODEL_PERPENDICULAR_PLANE`` + ``SAC_RANSAC`` with axis
+(0,0,1) (cpp:769), ``setOptimizeCoefficients(true)`` (cpp:365), eps angle
+(cpp:371 — fed *radians*; see config.pcl_compat_eps_angle_bug) and a distance
+threshold, then loops "extract plane, remove inliers" while more than 30% of
+the original cloud remains (cpp:379) or until no plane is found (cpp:383-387).
+
+TPU-native design (SURVEY.md §7 step 6):
+
+* PCL's *sequential* RANSAC iterations become **K batched hypotheses**: K
+  3-point samples drawn at once, all K plane models scored against all N
+  points with a single [N,3]x[3,K] matmul on the MXU, argmax by inlier count.
+* ``setOptimizeCoefficients`` becomes a masked least-squares refit: weighted
+  centroid + 3x3 scatter matrix (one more MXU contraction), smallest
+  eigenvector by power iteration on ``trace(C) I - C`` seeded with the RANSAC
+  normal (converges in a handful of 3x3 matvecs; no lax eigensolver needed).
+* the multi-plane loop is a ``lax.while_loop`` over the validity mask with a
+  static ``max_planes`` bound.
+
+Randomness is an explicit PRNGKey: fixed key => bit-identical plane sequence
+(the determinism the reference's rand()-driven PCL RANSAC never had).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import PipelineConfig
+from ..types import Cloud, PlaneModel
+
+__all__ = ["ransac_plane_once", "segment_planes", "PlaneOnceResult", "SegmentPlanesResult"]
+
+
+def _smallest_eigvec_3x3(cov: jax.Array, init: jax.Array, iters: int = 24) -> jax.Array:
+    """Smallest eigenvector of a symmetric 3x3 via power iteration on
+    ``trace(cov) I - cov`` (largest-eig flip), seeded with ``init``."""
+    m = jnp.trace(cov) * jnp.eye(3, dtype=cov.dtype) - cov
+
+    def body(_, v):
+        v = m @ v
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+
+    return lax.fori_loop(0, iters, body, init)
+
+
+class PlaneOnceResult(NamedTuple):
+    normal: jax.Array  # [3] unit normal
+    d: jax.Array  # [] plane offset (n·p + d = 0)
+    inliers: jax.Array  # [N] bool (subset of input valid mask)
+    found: jax.Array  # [] bool
+
+
+def ransac_plane_once(
+    cloud: Cloud, key: jax.Array, config: PipelineConfig, axis=(0.0, 0.0, 1.0)
+) -> PlaneOnceResult:
+    """One plane extraction: K batched hypotheses + LSQ refinement."""
+    pts = cloud.points
+    valid = cloud.valid
+    n = cloud.capacity
+    K = config.ransac_hypotheses
+    thresh = jnp.float32(config.plane_segment_dist_thresh)
+    eps_angle = jnp.float32(config.eps_angle_radians)
+    axis = jnp.asarray(axis, jnp.float32)
+
+    # --- sample K valid triples -------------------------------------------
+    # valid-first permutation so a uniform draw over [0, n_valid) indexes
+    # only real points (PCL samples uniformly from the index set).
+    sort_key = jnp.where(valid, jnp.int32(0), jnp.int32(1))
+    idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    _, perm = lax.sort((sort_key, idx), num_keys=1, is_stable=True)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    u = jax.random.randint(key, (K, 3), 0, jnp.maximum(n_valid, 1))
+    tri = perm[u]  # [K, 3] indices of sampled points
+    p0, p1, p2 = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+
+    normals = jnp.cross(p1 - p0, p2 - p0)
+    norms = jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    degenerate = norms[:, 0] < 1e-12
+    normals = normals / jnp.maximum(norms, 1e-20)
+    ds = -jnp.sum(normals * p0, axis=-1)  # [K]
+
+    # perpendicular-plane axis gate: angle(normal, axis) folded to [0, pi/2]
+    cosang = jnp.clip(jnp.abs(normals @ axis), 0.0, 1.0)
+    ang = jnp.arccos(cosang)
+    axis_ok = ang <= eps_angle
+
+    # --- score all hypotheses on the MXU ----------------------------------
+    dists = jnp.abs(
+        jnp.dot(pts, normals.T, preferred_element_type=jnp.float32) + ds[None, :]
+    )  # [N, K]
+    inl = (dists < thresh) & valid[:, None]
+    counts = jnp.sum(inl.astype(jnp.int32), axis=0)  # [K]
+    counts = jnp.where(axis_ok & ~degenerate & (n_valid >= 3), counts, -1)
+
+    best = jnp.argmax(counts)
+    found = counts[best] > 0
+    normal = normals[best]
+    d = ds[best]
+    inliers = inl[:, best]
+
+    # --- coefficient refinement (setOptimizeCoefficients) ------------------
+    def refine(carry, _):
+        normal, d, inliers = carry
+        w = inliers.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(w), 3.0)
+        c = jnp.sum(pts * w[:, None], axis=0) / cnt
+        q = (pts - c) * w[:, None]
+        cov = jnp.dot(q.T, pts - c, preferred_element_type=jnp.float32)
+        nrm = _smallest_eigvec_3x3(cov, normal)
+        nrm = nrm * jnp.sign(jnp.sum(nrm * normal) + 1e-30)  # keep orientation
+        nd = -jnp.sum(nrm * c)
+        new_in = (jnp.abs(pts @ nrm + nd) < thresh) & valid
+        return (nrm, nd, new_in), None
+
+    def do_refine(args):
+        (carry, _) = lax.scan(refine, args, None, length=config.ransac_refine_iters)
+        return carry
+
+    normal, d, inliers = lax.cond(
+        found, do_refine, lambda c: c, (normal, d, inliers)
+    )
+    inliers = inliers & found
+    return PlaneOnceResult(normal=normal, d=d, inliers=inliers, found=found)
+
+
+class SegmentPlanesResult(NamedTuple):
+    planes: PlaneModel
+    nonplane_cloud: Cloud  # the reference's end-state planar_cloud (non-plane pts)
+    plane_union: jax.Array  # [N] bool: union of all extracted plane inliers
+    last_plane: jax.Array  # [N] bool: the reference's indices_cloud (last plane)
+
+
+def segment_planes(
+    cloud: Cloud, key: jax.Array, config: PipelineConfig, axis=(0.0, 0.0, 1.0)
+) -> SegmentPlanesResult:
+    """Iterative multi-plane removal (cpp:376-399) as a lax.while_loop."""
+    n = cloud.capacity
+    n0 = jnp.sum(cloud.valid.astype(jnp.int32))
+    max_planes = config.max_planes
+    frac = jnp.float32(config.plane_min_remaining_frac)
+
+    coeffs0 = jnp.zeros((max_planes, 4), jnp.float32)
+    pvalid0 = jnp.zeros((max_planes,), bool)
+    state = (
+        cloud.valid,  # remaining mask
+        key,
+        coeffs0,
+        pvalid0,
+        jnp.int32(0),  # planes extracted
+        jnp.bool_(True),  # last round found a plane
+        jnp.zeros((n,), bool),  # plane union
+        jnp.zeros((n,), bool),  # last plane
+    )
+
+    def cond(state):
+        valid, _, _, _, i, found, _, _ = state
+        remaining = jnp.sum(valid.astype(jnp.int32))
+        return (remaining > frac * n0.astype(jnp.float32)) & found & (i < max_planes)
+
+    def body(state):
+        valid, key, coeffs, pvalid, i, _, union, _ = state
+        key, sub = jax.random.split(key)
+        res = ransac_plane_once(Cloud(points=cloud.points, valid=valid), sub, config, axis)
+        coeffs = lax.cond(
+            res.found,
+            lambda c: c.at[i].set(jnp.concatenate([res.normal, res.d[None]])),
+            lambda c: c,
+            coeffs,
+        )
+        pvalid = pvalid.at[i].set(res.found)
+        valid = valid & ~res.inliers
+        union = union | res.inliers
+        i = i + res.found.astype(jnp.int32)
+        return (valid, key, coeffs, pvalid, i, res.found, union, res.inliers)
+
+    valid, _, coeffs, pvalid, i, _, union, last = lax.while_loop(cond, body, state)
+    return SegmentPlanesResult(
+        planes=PlaneModel(coeffs=coeffs, valid=pvalid, num_planes=i),
+        nonplane_cloud=Cloud(points=cloud.points, valid=valid),
+        plane_union=union,
+        last_plane=last,
+    )

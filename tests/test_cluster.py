@@ -1,0 +1,120 @@
+import jax
+import numpy as np
+import pytest
+
+import oracle
+from pointcloud_obstacle_processing_tpu import Cloud
+from pointcloud_obstacle_processing_tpu.ops.cluster import (
+    cluster_centroids,
+    euclidean_cluster,
+)
+
+
+def _blob_scene(rng, centers, n_per=100, sigma=0.05):
+    pts = np.concatenate(
+        [rng.normal(c, sigma, size=(n_per, 3)) for c in centers]
+    ).astype(np.float32)
+    order = rng.permutation(len(pts))
+    return pts[order]
+
+
+def _clusters_as_sets(points, point_cluster, n):
+    out = {}
+    for i in range(n):
+        c = int(point_cluster[i])
+        if c >= 0:
+            out.setdefault(c, set()).add(i)
+    return sorted(out.values(), key=lambda s: (-len(s), min(s)))
+
+
+def test_clusters_match_oracle(rng):
+    centers = [(0, 0, 0), (3, 0, 0), (0, 3, 0), (3, 3, 1)]
+    pts = _blob_scene(rng, centers)
+    cloud = Cloud.pad_to(pts, 512)
+    out = jax.jit(
+        lambda c: euclidean_cluster(c, 0.4, 5, 20000, max_clusters=16)
+    )(cloud)
+    want = oracle.euclidean_clusters(pts, 0.4, 5, 20000)
+    assert int(out.clusters.num_clusters) == len(want)
+    got_sets = _clusters_as_sets(pts, np.asarray(out.clusters.point_cluster), len(pts))
+    want_sets = [set(c) for c in want]
+    assert got_sets == want_sets
+    # sizes sorted descending
+    sizes = np.asarray(out.clusters.sizes)[np.asarray(out.clusters.valid)]
+    assert all(sizes[i] >= sizes[i + 1] for i in range(len(sizes) - 1))
+
+
+def test_size_gate(rng):
+    # one big blob (kept), one tiny pair (dropped: < min_size)
+    big = rng.normal((0, 0, 0), 0.05, size=(50, 3))
+    tiny = rng.normal((5, 5, 5), 0.01, size=(3, 3))
+    pts = np.concatenate([big, tiny]).astype(np.float32)
+    cloud = Cloud.pad_to(pts, 64)
+    out = euclidean_cluster(cloud, 0.4, 5, 20000, max_clusters=8)
+    assert int(out.clusters.num_clusters) == 1
+    pc = np.asarray(out.clusters.point_cluster)
+    assert (pc[:50] == 0).all()
+    assert (pc[50:53] == -1).all()
+
+
+def test_max_size_gate(rng):
+    big = rng.normal((0, 0, 0), 0.05, size=(60, 3)).astype(np.float32)
+    cloud = Cloud.pad_to(big, 64)
+    out = euclidean_cluster(cloud, 0.4, 5, 50, max_clusters=8)
+    assert int(out.clusters.num_clusters) == 0
+
+
+def test_chain_connectivity(rng):
+    # a long chain of points spaced just under the tolerance must be ONE
+    # cluster (worst case for label propagation: large graph diameter)
+    n = 200
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = np.arange(n) * 0.35
+    order = rng.permutation(n)
+    cloud = Cloud.pad_to(pts[order], 256)
+    out = euclidean_cluster(cloud, 0.4, 5, 20000, max_clusters=4)
+    assert int(out.clusters.num_clusters) == 1
+    assert int(out.clusters.sizes[0]) == n
+
+
+def test_two_chains_not_merged(rng):
+    n = 100
+    a = np.zeros((n, 3), np.float32)
+    a[:, 0] = np.arange(n) * 0.35
+    b = a.copy()
+    b[:, 1] = 0.41  # just over tolerance
+    pts = np.concatenate([a, b])
+    cloud = Cloud.pad_to(pts, 256)
+    out = euclidean_cluster(cloud, 0.4, 5, 20000, max_clusters=4)
+    assert int(out.clusters.num_clusters) == 2
+
+
+def test_centroids_and_radii(rng):
+    centers = [(0, 0, 0), (4, 4, 0)]
+    pts = _blob_scene(rng, centers, n_per=80)
+    cloud = Cloud.pad_to(pts, 256)
+    out = euclidean_cluster(cloud, 0.4, 5, 20000, max_clusters=8)
+    cents = cluster_centroids(
+        Cloud(points=cloud.points, valid=cloud.valid), out.clusters
+    )
+    want = oracle.euclidean_clusters(pts, 0.4, 5, 20000)
+    want_rows = oracle.cluster_centroids_radii(pts, want)
+    got = np.asarray(cents.points.xyzr)[np.asarray(cents.valid)]
+    assert len(got) == len(want_rows)
+    np.testing.assert_allclose(got, want_rows, atol=1e-4)
+
+
+def test_invalid_points_ignored(rng):
+    pts = rng.normal((0, 0, 0), 0.05, size=(64, 3)).astype(np.float32)
+    valid = np.ones(64, bool)
+    valid[32:] = False
+    cloud = Cloud.from_points(pts, valid)
+    out = euclidean_cluster(cloud, 0.4, 5, 20000, max_clusters=4)
+    assert int(out.clusters.sizes[0]) == 32
+    assert (np.asarray(out.clusters.point_cluster)[32:] == -1).all()
+
+
+def test_empty():
+    cloud = Cloud(points=np.zeros((32, 3), np.float32), valid=np.zeros(32, bool))
+    out = euclidean_cluster(cloud, 0.4, 5, 20000, max_clusters=4)
+    assert int(out.clusters.num_clusters) == 0

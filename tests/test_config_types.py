@@ -1,0 +1,63 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloud_obstacle_processing_tpu import (
+    Cloud,
+    PipelineConfig,
+    REFERENCE_YAML_CONFIG,
+)
+from pointcloud_obstacle_processing_tpu.config import config_from_dict
+
+
+def test_reference_grid_dims():
+    # params.yaml crop box + block 0.0375: W=ceil(3.78/0.0375)=101, H=ceil(4.5/0.0375)=120
+    cfg = REFERENCE_YAML_CONFIG
+    assert cfg.grid_width == 101
+    assert cfg.grid_height == 120
+    assert cfg.grid_size == 101 * 120
+
+
+def test_cpp_default_grid_dims():
+    # cpp defaults: y in [-0.5, 0.6], x in [-1, 1], block 0.15
+    # width = ceil((0.5+0.6)/0.15)=ceil(7.33)=8, height = ceil(2/0.15)=ceil(13.33)=14
+    cfg = PipelineConfig()
+    assert cfg.grid_width == 8
+    assert cfg.grid_height == 14
+
+
+def test_config_from_nested_rosparam_dict():
+    d = {
+        "pointcloud_obstacle_processing": {
+            "x_max": 4.5,
+            "obstacle_detection": {
+                "accumulate_count": 200,
+                "downsame_input_data": False,  # reference typo alias
+                "statistical_outlier_stdDevThres": 4,
+            },
+        }
+    }
+    cfg = config_from_dict(d)
+    assert cfg.x_max == 4.5
+    assert cfg.accumulate_count == 200
+    assert cfg.downsample_input_data is False
+    assert cfg.statistical_outlier_std_dev_thresh == 4
+
+
+def test_eps_angle_compat():
+    cfg = REFERENCE_YAML_CONFIG
+    assert cfg.eps_angle_radians == 20.0  # the radians bug, vacuous constraint
+    fixed = cfg.replace(pcl_compat_eps_angle_bug=False)
+    assert abs(fixed.eps_angle_radians - np.radians(20)) < 1e-9
+
+
+def test_cloud_pytree_roundtrip():
+    c = Cloud.pad_to(np.ones((5, 3), np.float32), 16)
+    assert c.capacity == 16
+    assert int(c.count()) == 5
+    leaves, treedef = jax.tree_util.tree_flatten(c)
+    c2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert jnp.array_equal(c2.valid, c.valid)
+
+    doubled = jax.jit(lambda cl: cl.replace(points=cl.points * 2))(c)
+    np.testing.assert_allclose(np.asarray(doubled.points[:5]), 2.0)

@@ -1,0 +1,65 @@
+import jax
+import numpy as np
+import pytest
+
+import oracle
+from pointcloud_obstacle_processing_tpu import Cloud
+from pointcloud_obstacle_processing_tpu.ops.outliers import (
+    knn_mean_distances,
+    remove_statistical_outliers,
+)
+
+
+def test_knn_mean_distances_match_kdtree(rng):
+    pts = rng.uniform(0, 2, size=(600, 3)).astype(np.float32)
+    cloud = Cloud.pad_to(pts, 1024)
+    got = np.asarray(jax.jit(lambda c: knn_mean_distances(c, 15))(cloud))[:600]
+
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(pts).query(pts, k=16)
+    want = d[:, 1:].mean(axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+
+def test_outlier_mask_matches_oracle(rng):
+    # dense blob + a few far-out stragglers
+    blob = rng.normal(0, 0.2, size=(800, 3)).astype(np.float32)
+    stragglers = rng.uniform(3, 5, size=(20, 3)).astype(np.float32)
+    pts = np.concatenate([blob, stragglers])
+    cloud = Cloud.pad_to(pts, 1024)
+
+    res = jax.jit(lambda c: remove_statistical_outliers(c, 15, 1.0))(cloud)
+    got = np.asarray(res.cloud.valid)[: len(pts)]
+    want = oracle.statistical_outlier_mask(pts, 15, 1.0)
+    # identical except possibly points sitting exactly on the threshold
+    mismatch = np.mean(got != want)
+    assert mismatch < 0.005, f"{mismatch:.4%} disagreement"
+    # all stragglers must be removed
+    assert not got[len(blob):].any()
+
+
+def test_outlier_respects_input_mask(rng):
+    pts = rng.normal(0, 0.2, size=(256, 3)).astype(np.float32)
+    valid = np.ones(256, bool)
+    valid[100:] = False
+    cloud = Cloud.from_points(pts, valid)
+    res = remove_statistical_outliers(cloud, 10, 2.0)
+    got = np.asarray(res.cloud.valid)
+    assert not got[100:].any()
+    want = oracle.statistical_outlier_mask(pts[:100], 10, 2.0)
+    assert np.mean(got[:100] != want) < 0.02
+
+
+def test_outlier_threshold_value(rng):
+    pts = rng.normal(0, 0.5, size=(512, 3)).astype(np.float32)
+    cloud = Cloud.pad_to(pts, 512)
+    res = remove_statistical_outliers(cloud, 15, 1.0)
+
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(pts).query(pts, k=16)
+    md = d[:, 1:].mean(axis=1)
+    mu = md.mean()
+    sigma = np.sqrt((np.sum(md**2) - len(md) * mu * mu) / (len(md) - 1))
+    np.testing.assert_allclose(float(res.threshold), mu + sigma, rtol=1e-3)

@@ -1,0 +1,111 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from pointcloud_obstacle_processing_tpu import Cloud, REFERENCE_YAML_CONFIG
+from pointcloud_obstacle_processing_tpu.ops.ransac import (
+    ransac_plane_once,
+    segment_planes,
+)
+
+CFG = REFERENCE_YAML_CONFIG
+
+
+def _plane_scene(rng, n_plane=3000, n_off=300, normal=(0, 0, 1), d=0.0, noise=0.005):
+    normal = np.asarray(normal, np.float64)
+    normal = normal / np.linalg.norm(normal)
+    # basis in the plane
+    a = np.array([1.0, 0, 0]) if abs(normal[0]) < 0.9 else np.array([0, 1.0, 0])
+    u = np.cross(normal, a)
+    u /= np.linalg.norm(u)
+    v = np.cross(normal, u)
+    uv = rng.uniform(-2, 2, size=(n_plane, 2))
+    pts = uv[:, :1] * u + uv[:, 1:] * v - d * normal
+    pts += rng.normal(0, noise, pts.shape) * normal
+    off = rng.uniform(-2, 2, size=(n_off, 3)) + normal * rng.uniform(0.5, 1.5, (n_off, 1))
+    return np.concatenate([pts, off]).astype(np.float32), n_plane
+
+
+def test_single_plane_found(rng):
+    pts, n_plane = _plane_scene(rng)
+    cloud = Cloud.pad_to(pts, 4096)
+    res = jax.jit(lambda c, k: ransac_plane_once(c, k, CFG))(
+        cloud, jax.random.PRNGKey(0)
+    )
+    assert bool(res.found)
+    n = np.asarray(res.normal)
+    assert abs(n[2]) > 0.999  # ground normal
+    inl = np.asarray(res.inliers)[: len(pts)]
+    true_d = np.abs(pts @ n + float(res.d)) < CFG.plane_segment_dist_thresh
+    np.testing.assert_array_equal(inl, true_d)
+    # all plane points captured, off-plane rejected
+    assert inl[:n_plane].mean() > 0.999
+    assert inl[n_plane:].mean() < 0.02
+
+
+def test_matches_oracle_inlier_set(rng):
+    pts, _ = _plane_scene(rng, n_plane=2000, n_off=200)
+    cloud = Cloud.pad_to(pts, 4096)
+    res = ransac_plane_once(cloud, jax.random.PRNGKey(1), CFG)
+    (n_o, d_o), inl_o = oracle.ransac_plane(
+        pts.astype(np.float64), CFG.plane_segment_dist_thresh,
+        eps_angle=CFG.eps_angle_radians, seed=3,
+    )
+    inl_j = np.asarray(res.inliers)[: len(pts)]
+    # RNG streams differ; both must converge to the same plane => same inliers
+    agree = np.mean(inl_j == inl_o)
+    assert agree > 0.995, agree
+
+
+def test_axis_constraint_rejects_tilted_plane(rng):
+    # proper-angle mode: a 45deg plane must NOT be accepted with 20deg eps
+    pts, _ = _plane_scene(rng, normal=(1, 0, 1))
+    cfg = CFG.replace(pcl_compat_eps_angle_bug=False)
+    cloud = Cloud.pad_to(pts, 4096)
+    res = ransac_plane_once(cloud, jax.random.PRNGKey(0), cfg)
+    if bool(res.found):  # may find a small incidental plane, never the big one
+        assert int(np.sum(np.asarray(res.inliers))) < 1000
+
+
+def test_pcl_compat_accepts_tilted_plane(rng):
+    # with the radians bug (eps=20rad) the same plane IS accepted
+    pts, n_plane = _plane_scene(rng, normal=(1, 0, 1))
+    cloud = Cloud.pad_to(pts, 4096)
+    res = ransac_plane_once(cloud, jax.random.PRNGKey(0), CFG)
+    assert bool(res.found)
+    assert int(np.sum(np.asarray(res.inliers))) > 0.9 * n_plane
+
+
+def test_multi_plane_removal(rng):
+    # two stacked planes + clutter; loop should remove both
+    p1, _ = _plane_scene(rng, n_plane=2000, n_off=0, d=0.0)
+    p2, _ = _plane_scene(rng, n_plane=1500, n_off=0, d=-0.5)
+    clutter = rng.uniform(-2, 2, size=(300, 3)).astype(np.float32)
+    clutter[:, 2] = rng.uniform(1.0, 2.0, 300)
+    pts = np.concatenate([p1, p2, clutter])
+    cloud = Cloud.pad_to(pts, 4096)
+    res = jax.jit(lambda c, k: segment_planes(c, k, CFG))(cloud, jax.random.PRNGKey(2))
+    assert int(res.planes.num_planes) >= 2
+    remaining = np.asarray(res.nonplane_cloud.valid)[: len(pts)]
+    # both planes gone
+    assert remaining[:3500].mean() < 0.02
+    # loop stopped via the 30% gate or clutter retention
+    assert int(res.nonplane_cloud.count()) <= 0.3 * len(pts) + 400
+
+
+def test_no_plane_in_pure_noise(rng):
+    pts = rng.uniform(-2, 2, size=(300, 3)).astype(np.float32)
+    cfg = CFG.replace(plane_segment_dist_thresh=0.0005)
+    cloud = Cloud.pad_to(pts, 512)
+    res = segment_planes(cloud, jax.random.PRNGKey(0), cfg)
+    # sparse noise: tiny planes may be found but the vast majority survives
+    assert int(res.nonplane_cloud.count()) > 0.5 * len(pts)
+
+
+def test_empty_cloud():
+    cloud = Cloud(points=jnp.zeros((256, 3)), valid=jnp.zeros(256, bool))
+    res = segment_planes(cloud, jax.random.PRNGKey(0), CFG)
+    assert int(res.planes.num_planes) == 0
+    assert int(res.nonplane_cloud.count()) == 0

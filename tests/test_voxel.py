@@ -1,0 +1,82 @@
+import jax
+import numpy as np
+import pytest
+
+import oracle
+from pointcloud_obstacle_processing_tpu import Cloud
+from pointcloud_obstacle_processing_tpu.ops.voxel import voxel_downsample
+from pointcloud_obstacle_processing_tpu.utils.scene import make_scene
+
+
+def _sorted_rows(a, leaf=None):
+    """Sort rows for comparison.  With `leaf`, sort by the (exact) integer
+    voxel key each centroid belongs to — centroid coords themselves can
+    differ by float summation order, which would make a coordinate lexsort
+    pair rows up wrongly."""
+    a = np.asarray(a)
+    if leaf is not None:
+        k = np.floor(a / np.float32(leaf)).astype(np.int64)
+        return a[np.lexsort((k[:, 2], k[:, 1], k[:, 0]))]
+    return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+
+def test_voxel_matches_oracle(rng):
+    pts = rng.uniform(-2, 2, size=(5000, 3)).astype(np.float32)
+    cloud = Cloud.pad_to(pts, 8192)
+    res = jax.jit(lambda c: voxel_downsample(c, 0.25, 4096))(cloud)
+
+    want = oracle.voxel_downsample(pts, 0.25)
+    n = int(res.num_voxels)
+    assert n == len(want)
+    assert not bool(res.overflow)
+    got = np.asarray(res.cloud.points)[np.asarray(res.cloud.valid)]
+    np.testing.assert_allclose(_sorted_rows(got, 0.25), _sorted_rows(want, 0.25), atol=1e-4)
+
+
+def test_voxel_with_invalid_and_nan(rng):
+    pts = rng.uniform(0, 1, size=(100, 3)).astype(np.float32)
+    pts[10] = np.nan
+    valid = np.ones(100, bool)
+    valid[50:] = False
+    cloud = Cloud.from_points(pts, valid)
+    res = voxel_downsample(cloud, 0.1, 128)
+    want = oracle.voxel_downsample(pts[:50][np.arange(50) != 10], 0.1)
+    assert int(res.num_voxels) == len(want)
+    got = np.asarray(res.cloud.points)[np.asarray(res.cloud.valid)]
+    np.testing.assert_allclose(_sorted_rows(got, 0.1), _sorted_rows(want, 0.1), atol=1e-5)
+
+
+def test_voxel_overflow_drops_extras(rng):
+    pts = rng.uniform(0, 10, size=(512, 3)).astype(np.float32)
+    cloud = Cloud.pad_to(pts, 512)
+    res = voxel_downsample(cloud, 0.01, 64)  # tiny leaves: every point its own voxel
+    assert bool(res.overflow)
+    assert int(res.cloud.count()) == 64
+    assert int(res.num_voxels) >= 64
+
+
+def test_voxel_empty():
+    cloud = Cloud(points=np.zeros((64, 3), np.float32), valid=np.zeros(64, bool))
+    res = voxel_downsample(cloud, 0.1, 32)
+    assert int(res.num_voxels) == 0
+    assert int(res.cloud.count()) == 0
+
+
+def test_voxel_negative_coords():
+    # floor() binning on absolute coords: -0.01 and +0.01 are different leaves
+    pts = np.array([[-0.01, 0, 0], [0.01, 0, 0], [-0.02, 0, 0]], np.float32)
+    res = voxel_downsample(Cloud.pad_to(pts, 8), 0.1, 8)
+    assert int(res.num_voxels) == 2
+    got = _sorted_rows(np.asarray(res.cloud.points)[np.asarray(res.cloud.valid)], 0.1)
+    want = _sorted_rows(oracle.voxel_downsample(pts, 0.1), 0.1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_voxel_scene_reduces_ground(rng):
+    scene = make_scene(seed=1)
+    cloud = Cloud.pad_to(scene.points, 131072)
+    res = jax.jit(lambda c: voxel_downsample(c, 0.05, 16384))(cloud)
+    n = int(res.num_voxels)
+    assert 0 < n <= 16384
+    want = oracle.voxel_downsample(scene.points, 0.05)
+    assert n == len(want)
