@@ -38,8 +38,6 @@ from ..types import Cloud, ClusterSet, PointIndicesArray, PointWithRad
 
 __all__ = ["euclidean_cluster", "cluster_centroids", "ClusterOutput"]
 
-_JUMPS_PER_SWEEP = 8
-
 
 def _neighbor_min_sweep(
     pts: jax.Array, valid: jax.Array, labels: jax.Array, tol2: jax.Array, row_tile: int
@@ -51,8 +49,11 @@ def _neighbor_min_sweep(
 
     def tile_fn(args):
         q, q_sq, q_lab, q_valid = args
+        # HIGHEST precision: TPU's default bf16 MXU inputs would perturb
+        # distances near the tolerance boundary and change connectivity.
         d2 = q_sq[:, None] + p_sq[None, :] - 2.0 * jnp.dot(
-            q, pts.T, preferred_element_type=jnp.float32
+            q, pts.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         adj = (d2 <= tol2) & valid[None, :] & q_valid[:, None]
         cand = jnp.where(adj, labels_col[None, :], jnp.int32(n))
@@ -110,9 +111,27 @@ def euclidean_cluster(
 
     def body(state):
         labels, _, it = state
-        new = _neighbor_min_sweep(p, valid, labels, tol2, row_tile)
-        for _ in range(_JUMPS_PER_SWEEP):  # pointer jumping (path compression)
-            new = jnp.minimum(new, new[new])
+        nbr_min = _neighbor_min_sweep(p, valid, labels, tol2, row_tile)
+
+        # Shiloach-Vishkin style hook: propagate each point's neighborhood
+        # minimum to its component ROOT via scatter-min.  Updating only the
+        # point itself is not enough — interior members (including the old
+        # root) would never learn about a merge seen at the boundary, and a
+        # long chain would need O(diameter) sweeps instead of O(log n).
+        new = labels.at[labels].min(nbr_min)
+        new = jnp.minimum(new, nbr_min)
+
+        # Full path compression: jump pointers to a fixed point so every
+        # label is a root before the next sweep.
+        def jump_cond(s):
+            return s[1]
+
+        def jump_body(s):
+            l, _ = s
+            l2 = jnp.minimum(l, l[l])
+            return (l2, jnp.any(l2 != l))
+
+        new, _ = lax.while_loop(jump_cond, jump_body, (new, jnp.bool_(True)))
         return (new, jnp.any(new != labels), it + 1)
 
     labels, _, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))

@@ -60,8 +60,12 @@ def knn_mean_distances(cloud: Cloud, k: int, row_tile: int = 512) -> jax.Array:
     def tile_fn(args):
         q, q_sq, q_ids = args  # [T,3], [T], [T]
         # [T, N] squared distances on the MXU.
+        # HIGHEST precision: the TPU MXU default truncates inputs to
+        # bfloat16, which perturbs kNN distances by ~4e-3 relative — enough
+        # to reorder neighbor sets.  Full-f32 passes keep distances exact.
         d2 = q_sq[:, None] + p_sq[None, :] - 2.0 * jnp.dot(
-            q, p.T, preferred_element_type=jnp.float32
+            q, p.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         d2 = jnp.maximum(d2, 0.0)
         # exclude self and invalid columns

@@ -43,8 +43,10 @@ def _smallest_eigvec_3x3(cov: jax.Array, init: jax.Array, iters: int = 24) -> ja
     m = jnp.trace(cov) * jnp.eye(3, dtype=cov.dtype) - cov
 
     def body(_, v):
-        v = m @ v
-        return v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+        w = m @ v
+        nrm = jnp.linalg.norm(w)
+        # degenerate matrix (e.g. zero covariance): keep the previous vector
+        return jnp.where(nrm > 1e-20, w / jnp.maximum(nrm, 1e-20), v)
 
     return lax.fori_loop(0, iters, body, init)
 
@@ -87,13 +89,19 @@ def ransac_plane_once(
     ds = -jnp.sum(normals * p0, axis=-1)  # [K]
 
     # perpendicular-plane axis gate: angle(normal, axis) folded to [0, pi/2]
-    cosang = jnp.clip(jnp.abs(normals @ axis), 0.0, 1.0)
+    cosang = jnp.clip(jnp.abs(jnp.sum(normals * axis, axis=-1)), 0.0, 1.0)
     ang = jnp.arccos(cosang)
     axis_ok = ang <= eps_angle
 
     # --- score all hypotheses on the MXU ----------------------------------
+    # HIGHEST precision: bf16 MXU inputs (TPU default) would blur point-plane
+    # distances by more than the 0.04 threshold's useful resolution.
     dists = jnp.abs(
-        jnp.dot(pts, normals.T, preferred_element_type=jnp.float32) + ds[None, :]
+        jnp.dot(
+            pts, normals.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        + ds[None, :]
     )  # [N, K]
     inl = (dists < thresh) & valid[:, None]
     counts = jnp.sum(inl.astype(jnp.int32), axis=0)  # [K]
@@ -109,15 +117,27 @@ def ransac_plane_once(
     def refine(carry, _):
         normal, d, inliers = carry
         w = inliers.astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(w), 3.0)
+        n_inl = jnp.sum(w)
+        cnt = jnp.maximum(n_inl, 3.0)
         c = jnp.sum(pts * w[:, None], axis=0) / cnt
         q = (pts - c) * w[:, None]
-        cov = jnp.dot(q.T, pts - c, preferred_element_type=jnp.float32)
+        cov = jnp.dot(
+            q.T, pts - c, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
         nrm = _smallest_eigvec_3x3(cov, normal)
         nrm = nrm * jnp.sign(jnp.sum(nrm * normal) + 1e-30)  # keep orientation
         nd = -jnp.sum(nrm * c)
-        new_in = (jnp.abs(pts @ nrm + nd) < thresh) & valid
-        return (nrm, nd, new_in), None
+        new_in = (jnp.abs(jnp.sum(pts * nrm, axis=-1) + nd) < thresh) & valid
+        # PCL skips coefficient optimization below 3 inliers — without this,
+        # a degenerate covariance collapses the normal and the zero plane
+        # swallows the whole cloud.
+        ok = n_inl >= 3.0
+        return (
+            jnp.where(ok, nrm, normal),
+            jnp.where(ok, nd, d),
+            jnp.where(ok, new_in, inliers),
+        ), None
 
     def do_refine(args):
         (carry, _) = lax.scan(refine, args, None, length=config.ransac_refine_iters)

@@ -1,0 +1,156 @@
+"""Sensor-shadow casting onto the occupancy grid.
+
+Obstacles occlude the depth camera's view of the ground behind them; the
+reference paints those unknown regions into the grid with ``grid_opacity``.
+Three reference functions are rebuilt here as one vmapped-over-clusters op:
+
+* handle_shadow_casting (obstacle_detection.cpp:584-672): per cluster,
+  transform its points world->sensor, find the axis extremes, compute the
+  shadow start/end grid cells, then sweep ``ceil(width/block)+3`` parallel
+  lines shifted one column at a time (cpp:650-669).
+* calculate_shadow_cast (cpp:540-582): the trig —
+  ``a = min_pt.z; b = |min_pt.x|; c = hypot(a,b); e = |max_x| - |min_pt.x|
+  + 0.04; d = tan(asin(a/c))*e + 0.25`` — scales the normalized view ray
+  through the lowest cluster point by ``d`` and maps the end point back to a
+  world grid cell.
+* traceShadow (cpp:467-538): a Bresenham-style rasterizer writing each
+  line's cells (and each cell's +1 neighbor) with ``grid_opacity``,
+  steep/shallow branches, bounds-guarded writes.
+
+TPU-native design: per-cluster extremes are masked reduces shared across a
+vmap over cluster slots; the line sweep and the rasterizer steps are static
+loops (``shadow_max_lines`` x ``shadow_max_steps``) with activity masks; all
+writes land in one scatter (every write stores the same ``grid_opacity``
+value, so write order is immaterial — the C++ loop order need not be
+replayed).  The rasterizer's ``intersectY += gradient`` float32 accumulation
+is replicated exactly with a ``lax.scan`` so cell choices match the C++
+bit-for-bit (a closed-form ``y0 + s*gradient`` can round differently and
+flip a floor() at lattice crossings).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import PipelineConfig
+from ..types import Cloud, ClusterSet
+from .transforms import RigidTransform
+
+__all__ = ["cast_shadows"]
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _grid_cell_colrow(x, y, config: PipelineConfig):
+    """get_occupancy_grid_x_y for scalar-ish arrays (cpp:134-150):
+    col from world y, row from world x (the call-site argument swap)."""
+    b = jnp.float32(config.block_size)
+    col = jnp.maximum(0, jnp.ceil((y - jnp.float32(config.y_min)) / b) - 1).astype(jnp.int32)
+    row = jnp.maximum(0, jnp.ceil((jnp.float32(config.x_max) - x) / b) - 1).astype(jnp.int32)
+    return col, row
+
+
+def cast_shadows(
+    grid: jax.Array,
+    cloud: Cloud,
+    clusters: ClusterSet,
+    world_from_sensor: RigidTransform,
+    config: PipelineConfig,
+) -> jax.Array:
+    """Paint every cluster's shadow onto ``grid`` (int8 [H, W])."""
+    H, W = config.grid_height, config.grid_width
+    size = H * W
+    M = clusters.sizes.shape[0]
+    L = config.shadow_max_lines
+    S = config.shadow_max_steps
+
+    # world -> sensor once for the whole buffer (cpp:592-604 does it per
+    # cluster on copied points; here it's one shared rotate+add).
+    spts = world_from_sensor.inverse().apply(cloud.points)
+
+    pc = clusters.point_cluster  # [C] slot id or -1
+    slot_ids = lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
+
+    def per_cluster(m):
+        mask = (pc == m) & cloud.valid
+        mx = jnp.where(mask, spts[:, 0], _INF)
+        my = jnp.where(mask, spts[:, 1], _INF)
+        i_min = jnp.argmin(mx)
+        vmin = spts[i_min]  # vertical_axis_min_pt (cpp:608,616)
+        vmax = jnp.max(jnp.where(mask, spts[:, 0], -_INF))
+        hmin = jnp.min(my)
+        hmax = jnp.max(jnp.where(mask, spts[:, 1], -_INF))
+        width = jnp.abs(hmax - hmin)  # cpp:627
+
+        # calculate_shadow_cast trig (cpp:543-548)
+        a = vmin[2]
+        bb = jnp.abs(vmin[0])
+        c = jnp.sqrt(a * a + bb * bb)
+        e = jnp.abs(vmax) - jnp.abs(vmin[0]) + jnp.float32(0.04)
+        D = jnp.arcsin(a / jnp.maximum(c, 1e-20))
+        d = jnp.tan(D) * e + jnp.float32(0.25)
+
+        v_len = jnp.maximum(jnp.linalg.norm(vmin), 1e-20)
+        end_sensor = vmin + vmin / v_len * d  # cpp:558-566
+        end_world = world_from_sensor.apply(end_sensor)  # cpp:570-578
+        start_world = world_from_sensor.apply(vmin)  # cpp:638-642
+
+        e_col, e_row = _grid_cell_colrow(end_world[0], end_world[1], config)
+        s_col, s_row = _grid_cell_colrow(start_world[0], start_world[1], config)
+
+        shift = jnp.ceil((width / jnp.float32(config.block_size)) / 2.0).astype(jnp.int32)
+        n_lines = jnp.ceil(width / jnp.float32(config.block_size)).astype(jnp.int32) + 3
+
+        active = clusters.valid[m] & (jnp.sum(mask.astype(jnp.int32)) >= 2)  # cpp:586
+        return (
+            s_col + shift,
+            s_row,
+            e_col + shift,
+            e_row,
+            jnp.minimum(n_lines, L),
+            active,
+        )
+
+    s_col, s_row, e_col, e_row, n_lines, active = jax.vmap(per_cluster)(slot_ids)
+
+    # ---- line sweep: line i shifts both columns by -i (cpp:653-669) --------
+    line_ids = lax.broadcasted_iota(jnp.int32, (M, L), 1)
+    lx0 = s_col[:, None] - line_ids  # v1.x
+    ly0 = jnp.broadcast_to(s_row[:, None], (M, L))  # v1.y
+    lx1 = e_col[:, None] - line_ids  # v2.x
+    ly1 = jnp.broadcast_to(e_row[:, None], (M, L))
+    line_on = active[:, None] & (line_ids < n_lines[:, None])
+
+    # ---- traceShadow (cpp:467-538), vectorized over [M, L] lines -----------
+    x0, y0, x1, y1 = lx0, ly0, lx1, ly1
+    steep = jnp.abs(y1 - y0) > jnp.abs(x1 - x0)
+    x0, y0 = jnp.where(steep, y0, x0), jnp.where(steep, x0, y0)
+    x1, y1 = jnp.where(steep, y1, x1), jnp.where(steep, x1, y1)
+    back = x0 > x1
+    x0, x1 = jnp.where(back, x1, x0), jnp.where(back, x0, x1)
+    y0, y1 = jnp.where(back, y1, y0), jnp.where(back, y0, y1)
+
+    dx = (x1 - x0).astype(jnp.float32)
+    dy = (y1 - y0).astype(jnp.float32)
+    gradient = jnp.where(dx == 0.0, jnp.float32(1.0), dy / jnp.where(dx == 0.0, 1.0, dx))
+
+    def step(intersect_y, s):
+        x = x0 + s
+        on = line_on & (x <= x1)
+        fy = jnp.floor(intersect_y).astype(jnp.int32)
+        gy = jnp.where(steep, x, fy)
+        gx = jnp.where(steep, fy, x)
+        idx = gy * W + gx
+        idx0 = jnp.where(on & (idx < size) & (idx > -1), idx, size)
+        idx1 = idx + 1
+        idx1 = jnp.where(on & (idx1 < size) & (idx1 > -1), idx1, size)
+        # exact replication of the C++ float32 `intersectY += gradient`
+        return intersect_y + gradient, jnp.stack([idx0, idx1], axis=-1)
+
+    _, write_idx = lax.scan(step, y0.astype(jnp.float32), jnp.arange(S, dtype=jnp.int32))
+
+    flat = jnp.asarray(grid).reshape(-1)
+    flat = flat.at[write_idx.reshape(-1)].set(jnp.int8(config.grid_opacity), mode="drop")
+    return flat.reshape(H, W)

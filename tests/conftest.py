@@ -8,12 +8,15 @@ would on a v5e-8 slice.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The environment's sitecustomize registers the TPU ("axon") backend and
+# forces jax_platforms — plain env vars are overridden, so pin the platform
+# through jax.config *before* any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import sys
 
@@ -23,6 +26,7 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # fresh, fixed-seed generator per test: results never depend on test order
     return np.random.default_rng(1234)

@@ -42,7 +42,8 @@ def test_single_plane_found(rng):
     np.testing.assert_array_equal(inl, true_d)
     # all plane points captured, off-plane rejected
     assert inl[:n_plane].mean() > 0.999
-    assert inl[n_plane:].mean() < 0.02
+    # a few uniform clutter points legitimately fall within the threshold
+    assert inl[n_plane:].mean() < 0.05
 
 
 def test_matches_oracle_inlier_set(rng):
