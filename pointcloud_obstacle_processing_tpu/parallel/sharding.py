@@ -1,0 +1,207 @@
+"""Multi-scan batching and multi-chip sharding.
+
+The reference's "distribution" layer is the ROS graph: one OS process per
+node, TCPROS pub/sub between them, one scan processed at a time (queue
+size 1, obstacle_detection.cpp:1001; single-threaded ``ros::spin``, :1014 —
+SURVEY.md §2.3).  The TPU-native equivalents:
+
+* **Scan batching (DP)** — ``vmap`` over a leading scan axis: many scans (or
+  sensor heads) per chip in one XLA program.  This is the north-star batching
+  axis (BASELINE.json config #5).
+* **Chip scale-out (DP over mesh)** — the batch axis sharded over a
+  ``jax.sharding.Mesh`` ``data`` axis.  Scans are independent, so XLA inserts
+  zero collectives; results come back sharded the same way.
+* **Point sharding (SP)** — one scan's points split over a ``points`` mesh
+  axis via ``shard_map`` for accumulation windows too big for one chip's HBM
+  (200 Kinect frames ≈ 100M points, SURVEY.md §5 long-context note).  The
+  heavy per-point stages run shard-local; the only communication is
+  - one ``psum`` of the [H, W] occupancy histogram (a few 10s of KB), and
+  - one ``all_gather`` of the per-shard voxel partial tables (key/sum/count,
+    ~0.5 MB per shard) which are merged into the deduplicated voxel cloud;
+  every later stage (outlier, RANSAC, clustering, shadows) runs on that
+  small merged cloud replicated per shard — collectives ride ICI, nothing
+  touches the host.
+
+``dp_sp_pipeline`` composes both over a 2-D ('data', 'points') mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import PipelineConfig
+from ..ops.filters import crop_box_mask
+from ..ops.occupancy import grid_cell_index
+from ..ops.transforms import RigidTransform
+from ..ops.voxel import finalize_voxels, merge_voxel_partials, voxel_partials
+from ..pipeline import _post_voxel, process_scan
+from ..types import Cloud, PipelineResult
+
+__all__ = [
+    "make_mesh",
+    "batched_pipeline",
+    "data_parallel_pipeline",
+    "process_scan_point_sharded",
+    "dp_sp_pipeline",
+]
+
+
+def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
+    """Build a Mesh from {axis_name: size}; total must match device count."""
+    devices = devices if devices is not None else jax.devices()
+    total = int(np.prod(list(axis_sizes.values())))
+    if total != len(devices):
+        raise ValueError(f"mesh wants {total} devices, have {len(devices)}")
+    dev_array = np.asarray(devices).reshape(tuple(axis_sizes.values()))
+    return Mesh(dev_array, tuple(axis_sizes.keys()))
+
+
+def batched_pipeline(config: PipelineConfig):
+    """vmap over a leading scan axis: Cloud[B, N], keys[B, 2] -> results[B]."""
+
+    def fn(clouds: Cloud, keys: jax.Array, sensor_pose: RigidTransform | None = None):
+        if sensor_pose is None:
+            return jax.vmap(lambda c, k: process_scan(c, k, config))(clouds, keys)
+        return jax.vmap(lambda c, k, t: process_scan(c, k, config, t))(
+            clouds, keys, sensor_pose
+        )
+
+    return jax.jit(fn)
+
+
+def data_parallel_pipeline(config: PipelineConfig, mesh: Mesh, data_axis: str = "data"):
+    """Batch axis sharded over the mesh's ``data`` axis.
+
+    Scans are independent: XLA compiles this to fully-local per-chip programs
+    (no collectives), each chip processing B / n_data scans.
+    """
+    data_spec = P(data_axis)
+
+    def fn(clouds: Cloud, keys: jax.Array):
+        clouds = jax.lax.with_sharding_constraint(
+            clouds,
+            Cloud(
+                points=NamedSharding(mesh, P(data_axis, None, None)),
+                valid=NamedSharding(mesh, P(data_axis, None)),
+            ),
+        )
+        keys = jax.lax.with_sharding_constraint(keys, NamedSharding(mesh, data_spec))
+        return jax.vmap(lambda c, k: process_scan(c, k, config))(clouds, keys)
+
+    return jax.jit(fn)
+
+
+def process_scan_point_sharded(
+    cloud_shard: Cloud,
+    key: jax.Array,
+    config: PipelineConfig,
+    world_from_sensor: RigidTransform,
+    axis_name: str = "points",
+) -> PipelineResult:
+    """Pipeline body over a point shard; call inside shard_map.
+
+    ``cloud_shard`` holds this chip's [max_points / n_shards] slice.  The
+    result is replicated across the ``points`` axis.
+    """
+    pts = cloud_shard.points
+    n_in_local = cloud_shard.count()
+    n_in = lax.psum(n_in_local, axis_name)
+
+    # ---- stage 1, shard-local histogram + global psum ----------------------
+    in_box = cloud_shard.valid & crop_box_mask(pts, config)
+    index = grid_cell_index(pts, config)
+    in_grid = in_box & (index < config.grid_size)
+    counts_local = jnp.zeros((config.grid_size,), jnp.int32).at[
+        jnp.where(in_grid, index, config.grid_size)
+    ].add(in_grid.astype(jnp.int32), mode="drop")
+    counts = lax.psum(counts_local, axis_name).reshape(
+        config.grid_height, config.grid_width
+    )
+    row_averages = (jnp.sum(counts, axis=1) // config.grid_width).astype(jnp.int32)
+    threshold = row_averages.astype(jnp.float32) * jnp.float32(1.0 - config.dev_percent)
+    hole_grid = jnp.where(
+        counts.astype(jnp.float32) < threshold[:, None], jnp.int8(100), jnp.int8(0)
+    )
+    n_cropped = lax.psum(jnp.sum(in_box.astype(jnp.int32)), axis_name)
+
+    # ---- stage 2, shard-local voxel partials + all_gather + merge ----------
+    # Each shard voxelizes its local slice into a [max_voxels] partial table;
+    # the gathered tables are merged (same-key partials summed) into the
+    # deduplicated global voxel cloud, replicated on every shard.
+    from ..ops.voxel import VoxelPartials
+
+    parts = voxel_partials(
+        Cloud(points=pts, valid=in_box),
+        config.downsample_leaf_size,
+        config.max_voxels,
+    )
+    merged = merge_voxel_partials(
+        VoxelPartials(
+            keys=lax.all_gather(parts.keys, axis_name, tiled=True),
+            sums=lax.all_gather(parts.sums, axis_name, tiled=True),
+            counts=lax.all_gather(parts.counts, axis_name, tiled=True),
+            num_voxels=parts.num_voxels,  # unused by merge
+            overflow=parts.overflow,  # unused by merge
+        ),
+        config.max_voxels,
+    )
+    vox = finalize_voxels(merged)
+
+    # ---- stages 3-8, replicated on the merged (small) voxel cloud ----------
+    return _post_voxel(
+        vox.cloud,
+        vox.num_voxels,
+        hole_grid,
+        n_in,
+        n_cropped,
+        key,
+        config,
+        world_from_sensor,
+    )
+
+
+def dp_sp_pipeline(
+    config: PipelineConfig,
+    mesh: Mesh,
+    data_axis: str = "data",
+    points_axis: str = "points",
+):
+    """Scans over 'data', each scan's points over 'points' (2-D mesh).
+
+    Input: Cloud with points [B, N, 3]; keys [B, 2]; a single sensor pose
+    shared by the batch (or None).  Per-scan results are replicated over the
+    'points' axis and sharded over 'data'.
+    """
+
+    def per_scan(cloud_shard, k, pose):
+        return process_scan_point_sharded(
+            cloud_shard, k, config, pose, axis_name=points_axis
+        )
+
+    def local(clouds, keys, pose):
+        return jax.vmap(lambda c, k: per_scan(c, k, pose))(clouds, keys)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            Cloud(points=P(data_axis, points_axis, None), valid=P(data_axis, points_axis)),
+            P(data_axis),
+            P(),  # sensor pose replicated
+        ),
+        out_specs=P(data_axis),
+        check_vma=False,
+    )
+
+    def fn(clouds: Cloud, keys: jax.Array, sensor_pose: RigidTransform | None = None):
+        if sensor_pose is None:
+            sensor_pose = RigidTransform.identity()
+        return sharded(clouds, keys, sensor_pose)
+
+    return jax.jit(fn)

@@ -84,6 +84,31 @@ def process_scan(
         voxel_cloud = comp0.cloud
         n_voxels = comp0.count
 
+    return _post_voxel(
+        voxel_cloud,
+        n_voxels,
+        seed.hole_grid,
+        n_in,
+        cropped.count(),
+        key,
+        config,
+        world_from_sensor,
+    )
+
+
+def _post_voxel(
+    voxel_cloud: Cloud,
+    n_voxels: jax.Array,
+    hole_grid: jax.Array,
+    n_in: jax.Array,
+    n_cropped: jax.Array,
+    key: jax.Array,
+    config: PipelineConfig,
+    world_from_sensor: RigidTransform,
+) -> PipelineResult:
+    """Stages 3-8, shared between the single-chip path and the point-sharded
+    multi-chip path (which voxelizes shards locally, all-gathers the partial
+    voxel tables, and enters here with the merged, replicated cloud)."""
     # 3. statistical outlier removal
     outl = remove_statistical_outliers(
         voxel_cloud,
@@ -111,7 +136,7 @@ def process_scan(
     # 6. shadows over the hole grid, 7. obstacle marking (reference order:
     #    holes first, shadows may overwrite, obstacles overwrite last)
     grid_data = cast_shadows(
-        seed.hole_grid, comp.cloud, clus.clusters, world_from_sensor, config
+        hole_grid, comp.cloud, clus.clusters, world_from_sensor, config
     )
     grid_data = mark_obstacles(grid_data, seg.nonplane_cloud, config)
 
@@ -124,7 +149,7 @@ def process_scan(
 
     stats = StageStats(
         accumulated_points=n_in,
-        cropped_points=cropped.count(),
+        cropped_points=n_cropped,
         voxel_points=jnp.minimum(n_voxels, config.max_voxels),
         inlier_points=outl.cloud.count(),
         nonplane_points=seg.nonplane_cloud.count(),

@@ -1,0 +1,55 @@
+"""Per-stage timing harness.
+
+The reference brackets every stage with ``std::chrono`` and logs seconds +
+percent-of-total each cycle (obstacle_detection.cpp:872-925).  Here stages
+live inside one fused XLA program, so per-stage numbers come from timing each
+stage's jitted function on the *actual* intermediate data of a real run —
+the same table, measured honestly (block_until_ready between repeats).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+
+__all__ = ["StageTimer", "time_fn"]
+
+
+def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Median wall-clock seconds of fn(*args) with device sync."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+@dataclass
+class StageTimer:
+    """Collects named stage timings and renders the reference's table."""
+
+    stages: dict = field(default_factory=dict)
+
+    def measure(self, name: str, fn, *args, iters: int = 10) -> float:
+        t = time_fn(fn, *args, iters=iters)
+        self.stages[name] = t
+        return t
+
+    def record(self, name: str, seconds: float) -> None:
+        self.stages[name] = seconds
+
+    def table(self) -> str:
+        """Seconds + percent per stage, like obstacle_detection.cpp:913-925."""
+        total = sum(self.stages.values())
+        lines = [f"{'-'*19}TOTAL TIME: {total:.6f} seconds"]
+        width = max((len(k) for k in self.stages), default=10)
+        for name, t in self.stages.items():
+            pct = 100.0 * t / total if total > 0 else 0.0
+            lines.append(f"{name.rjust(width)}: {t:.6f} seconds ({pct:.3f}) percent")
+        return "\n".join(lines)

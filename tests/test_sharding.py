@@ -1,0 +1,106 @@
+"""Multi-chip layout tests on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_obstacle_processing_tpu import Cloud, REFERENCE_YAML_CONFIG
+from pointcloud_obstacle_processing_tpu.parallel.sharding import (
+    batched_pipeline,
+    data_parallel_pipeline,
+    dp_sp_pipeline,
+    make_mesh,
+)
+from pointcloud_obstacle_processing_tpu.pipeline import process_scan
+from pointcloud_obstacle_processing_tpu.utils.scene import SceneSpec, make_scene
+
+CFG = REFERENCE_YAML_CONFIG.replace(
+    max_points=8192,
+    max_voxels=2048,
+    cluster_capacity=512,
+    max_clusters=8,
+    downsample_leaf_size=0.1,
+)
+
+SPEC = SceneSpec(n_ground=6000, n_rocks=2, points_per_rock=400, n_noise=80)
+
+
+def _batch(bs, seed0=0):
+    pts = np.zeros((bs, CFG.max_points, 3), np.float32)
+    valid = np.zeros((bs, CFG.max_points), bool)
+    for i in range(bs):
+        p = make_scene(seed=seed0 + i, spec=SPEC).points[: CFG.max_points]
+        pts[i, : len(p)] = p
+        valid[i, : len(p)] = True
+    return Cloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
+
+
+def test_data_parallel_matches_single(rng):
+    assert len(jax.devices()) == 8
+    mesh = make_mesh({"data": 8})
+    clouds = _batch(8)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    fn = data_parallel_pipeline(CFG, mesh)
+    out = fn(clouds, keys)
+    for i in (0, 3, 7):
+        single = jax.jit(lambda c, k: process_scan(c, k, CFG))(
+            jax.tree_util.tree_map(lambda x: x[i], clouds), keys[i]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.grid.data[i]), np.asarray(single.grid.data)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.clusters.point_cluster[i]),
+            np.asarray(single.clusters.point_cluster),
+        )
+
+
+def test_point_sharded_matches_single(rng):
+    mesh = make_mesh({"data": 1, "points": 8})
+    clouds = _batch(1)
+    keys = jax.random.split(jax.random.PRNGKey(1), 1)
+    fn = dp_sp_pipeline(CFG, mesh)
+    out = fn(clouds, keys)
+
+    single = jax.jit(lambda c, k: process_scan(c, k, CFG))(
+        jax.tree_util.tree_map(lambda x: x[0], clouds), keys[0]
+    )
+    # histogram/hole grid must be exactly equal; voxel centroids can differ
+    # by float summation order across shards, which may perturb RANSAC's
+    # inlier boundary — compare the structural outputs.
+    np.testing.assert_array_equal(
+        np.asarray(out.stats.cropped_points[0]), np.asarray(single.stats.cropped_points)
+    )
+    assert int(out.stats.voxel_points[0]) == int(single.stats.voxel_points)
+    got_grid = np.asarray(out.grid.data[0])
+    want_grid = np.asarray(single.grid.data)
+    assert np.mean(got_grid != want_grid) < 0.01
+    assert int(out.clusters.num_clusters[0]) == int(single.clusters.num_clusters)
+    got_c = np.asarray(out.centroids.points.xyzr[0])
+    want_c = np.asarray(single.centroids.points.xyzr)
+    np.testing.assert_allclose(got_c, want_c, atol=5e-2)
+
+
+def test_dp_sp_2x4(rng):
+    mesh = make_mesh({"data": 2, "points": 4})
+    clouds = _batch(2, seed0=5)
+    keys = jax.random.split(jax.random.PRNGKey(2), 2)
+    fn = dp_sp_pipeline(CFG, mesh)
+    out = fn(clouds, keys)
+    assert out.grid.data.shape == (2, CFG.grid_height, CFG.grid_width)
+    for i in range(2):
+        single = jax.jit(lambda c, k: process_scan(c, k, CFG))(
+            jax.tree_util.tree_map(lambda x: x[i], clouds), keys[i]
+        )
+        assert int(out.stats.cropped_points[i]) == int(single.stats.cropped_points)
+        assert int(out.stats.voxel_points[i]) == int(single.stats.voxel_points)
+        assert int(out.clusters.num_clusters[i]) == int(single.clusters.num_clusters)
+
+
+def test_batched_pipeline_shapes(rng):
+    clouds = _batch(4)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    out = batched_pipeline(CFG)(clouds, keys)
+    assert out.grid.data.shape == (4, CFG.grid_height, CFG.grid_width)
+    assert out.centroids.points.xyzr.shape == (4, CFG.max_clusters, 4)
