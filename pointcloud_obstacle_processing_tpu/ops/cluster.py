@@ -145,9 +145,10 @@ def euclidean_cluster(
     num_clusters_total = jnp.sum(gate.astype(jnp.int32))
 
     # ---- slot assignment: size desc, root asc (PCL's end-of-extract sort) --
-    neg_size = jnp.where(gate, -sizes_by_root, jnp.int32(1))
-    _, root_sorted = lax.sort((neg_size, idx), num_keys=1, is_stable=True)
-    top_roots = root_sorted[:max_clusters]  # roots of the biggest clusters
+    # lax.top_k is stable (equal values keep ascending index order), giving
+    # exactly the (size desc, root asc) order without a full sort.
+    gated_size = jnp.where(gate, sizes_by_root, jnp.int32(-1))
+    _, top_roots = lax.top_k(gated_size, max_clusters)
     slot_valid = (
         lax.broadcasted_iota(jnp.int32, (max_clusters, 1), 0)[:, 0]
         < jnp.minimum(num_clusters_total, max_clusters)

@@ -36,16 +36,22 @@ def compact(cloud: Cloud, capacity_out: int | None = None) -> CompactResult:
     """
     n = cloud.capacity
     capacity_out = capacity_out or n
-    key = jnp.where(cloud.valid, jnp.int32(0), jnp.int32(1))
+    # Destination slot of each valid point = its rank among valid points.
+    # cumsum + one scatter: far cheaper than a sort on TPU (XLA TPU sorts
+    # have very high single-instance latency).
+    pos = jnp.cumsum(cloud.valid.astype(jnp.int32)) - 1
+    ids = jnp.where(cloud.valid & (pos < capacity_out), pos, capacity_out)
     idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    _, perm = lax.sort((key, idx), num_keys=1, is_stable=True)
-    perm = perm[:capacity_out]
+    out_pts = jnp.zeros((capacity_out, 3), jnp.float32).at[ids].set(
+        cloud.points, mode="drop"
+    )
+    source_index = jnp.zeros((capacity_out,), jnp.int32).at[ids].set(idx, mode="drop")
     count = jnp.sum(cloud.valid.astype(jnp.int32))
     out_valid = lax.broadcasted_iota(jnp.int32, (capacity_out, 1), 0)[:, 0] < count
     return CompactResult(
-        cloud=Cloud(points=cloud.points[perm], valid=out_valid),
+        cloud=Cloud(points=out_pts, valid=out_valid),
         count=jnp.minimum(count, capacity_out),
-        source_index=perm,
+        source_index=source_index,
         overflow=count > capacity_out,
     )
 

@@ -57,6 +57,22 @@ def knn_mean_distances(cloud: Cloud, k: int, row_tile: int = 512) -> jax.Array:
 
     row_ids = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
+    def _k_smallest(d2: jax.Array, kk: int) -> jax.Array:
+        """Exact k-smallest per row via hierarchical top-k: chunk-local
+        top-k then top-k of the candidate pool.  A flat lax.top_k over the
+        full row lowers to a whole-row sort on TPU; the two-level form cuts
+        the sorted width from N to 128 + N*k/128."""
+        T, N = d2.shape
+        chunk = 128
+        if N % chunk or N // chunk < 2:
+            neg, _ = lax.top_k(-d2, kk)
+            return -neg
+        c = d2.reshape(T, N // chunk, chunk)
+        neg, _ = lax.top_k(-c, kk)  # [T, N/chunk, kk] chunk-local k smallest
+        cand = neg.reshape(T, (N // chunk) * kk)
+        neg2, _ = lax.top_k(cand, kk)
+        return -neg2
+
     def tile_fn(args):
         q, q_sq, q_ids = args  # [T,3], [T], [T]
         # [T, N] squared distances on the MXU.
@@ -68,14 +84,16 @@ def knn_mean_distances(cloud: Cloud, k: int, row_tile: int = 512) -> jax.Array:
             precision=lax.Precision.HIGHEST,
         )
         d2 = jnp.maximum(d2, 0.0)
-        # exclude self and invalid columns
-        d2 = jnp.where(valid[None, :], d2, jnp.inf)
-        d2 = jnp.where(q_ids[:, None] == row_ids[None, :], jnp.inf, d2)
-        neg_top, _ = lax.top_k(-d2, k)  # k smallest
-        dk = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
-        finite = jnp.isfinite(dk)
-        s = jnp.sum(jnp.where(finite, dk, 0.0), axis=-1)
-        cnt = jnp.sum(finite.astype(jnp.float32), axis=-1)
+        # exclude self and invalid columns (big finite sentinel, not inf:
+        # the mean below masks on the sentinel instead of isfinite)
+        big = jnp.float32(3.0e38)
+        d2 = jnp.where(valid[None, :], d2, big)
+        d2 = jnp.where(q_ids[:, None] == row_ids[None, :], big, d2)
+        dk2 = _k_smallest(d2, k)
+        real = dk2 < big * 0.5
+        dk = jnp.sqrt(jnp.maximum(dk2, 0.0))
+        s = jnp.sum(jnp.where(real, dk, 0.0), axis=-1)
+        cnt = jnp.sum(real.astype(jnp.float32), axis=-1)
         return s / jnp.maximum(cnt, 1.0)
 
     tiles = n // row_tile

@@ -71,11 +71,14 @@ def ransac_plane_once(
     axis = jnp.asarray(axis, jnp.float32)
 
     # --- sample K valid triples -------------------------------------------
-    # valid-first permutation so a uniform draw over [0, n_valid) indexes
-    # only real points (PCL samples uniformly from the index set).
-    sort_key = jnp.where(valid, jnp.int32(0), jnp.int32(1))
+    # valid-first compaction (cumsum + scatter, no sort) so a uniform draw
+    # over [0, n_valid) indexes only real points (PCL samples uniformly from
+    # the index set).
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
     idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    _, perm = lax.sort((sort_key, idx), num_keys=1, is_stable=True)
+    perm = jnp.zeros((n,), jnp.int32).at[jnp.where(valid, pos, n)].set(
+        idx, mode="drop"
+    )
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
     u = jax.random.randint(key, (K, 3), 0, jnp.maximum(n_valid, 1))

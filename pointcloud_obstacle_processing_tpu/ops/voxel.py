@@ -105,16 +105,86 @@ def _reduce_sorted_keys(
     )
 
 
-def voxel_partials(cloud: Cloud, leaf_size: float, capacity: int) -> VoxelPartials:
-    """Bin points into voxels and return per-voxel (key, sum, count)."""
+def _pack_spec(bounds, leaf_size: float):
+    """Static packing of (ix, iy, iz) into one int32, if the crop-box voxel
+    ranges fit.  Returns (imin, dims) as python ints or None."""
+    if bounds is None:
+        return None
+    (x0, y0, z0), (x1, y1, z1) = bounds
+    import math
+
+    imin = [math.floor(v / leaf_size) for v in (x0, y0, z0)]
+    imax = [math.floor(v / leaf_size) for v in (x1, y1, z1)]
+    dims = [b - a + 2 for a, b in zip(imin, imax)]  # +1 span, +1 safety
+    if dims[0] * dims[1] * dims[2] >= 2**31 - 2:
+        return None
+    return imin, dims
+
+
+def voxel_partials(
+    cloud: Cloud, leaf_size: float, capacity: int, bounds=None
+) -> VoxelPartials:
+    """Bin points into voxels and return per-voxel (key, sum, count).
+
+    ``bounds``: optional static ((x0,y0,z0), (x1,y1,z1)) crop box enclosing
+    every valid point.  When given (the pipeline passes its crop box) the
+    three voxel coords pack into one int32 key and the sort runs with a
+    single key + permutation payload — materially cheaper on TPU than a
+    7-operand 3-key sort.  Packing is monotonic in (ix, iy, iz), so the
+    output ordering is identical to the unpacked path.
+    """
     pts = cloud.points
+    n = cloud.capacity
     valid = cloud.valid & jnp.all(jnp.isfinite(pts), axis=-1)
 
     ijk = jnp.floor(pts / jnp.float32(leaf_size)).astype(jnp.int32)
+    spec = _pack_spec(bounds, leaf_size)
+    if spec is not None and spec[1][0] * spec[1][1] * spec[1][2] <= (1 << 23):
+        # Dense-bin path: scatter-add points straight into the crop box's
+        # full voxel grid, then compact occupied bins with cumsum +
+        # searchsorted.  No sort at all — XLA TPU sorts cost ~25ms for a
+        # 131k buffer while a scatter-add is ~1ms.
+        imin, dims = spec
+        K = dims[0] * dims[1] * dims[2]
+        ix = jnp.clip(ijk[:, 0] - imin[0], 0, dims[0] - 1)
+        iy = jnp.clip(ijk[:, 1] - imin[1], 0, dims[1] - 1)
+        iz = jnp.clip(ijk[:, 2] - imin[2], 0, dims[2] - 1)
+        packed = jnp.where(valid, (ix * dims[1] + iy) * dims[2] + iz, K)
+        w = valid.astype(jnp.float32)
+        bin_sums = jnp.zeros((K, 3), jnp.float32).at[packed].add(
+            pts * w[:, None], mode="drop"
+        )
+        bin_counts = jnp.zeros((K,), jnp.float32).at[packed].add(w, mode="drop")
+
+        occ = (bin_counts > 0.0).astype(jnp.int32)
+        csum = jnp.cumsum(occ)
+        num = csum[-1]
+        target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1
+        loc = jnp.searchsorted(csum, target, side="left").astype(jnp.int32)
+        loc = jnp.minimum(loc, K - 1)
+        out_valid = target - 1 < jnp.minimum(num, capacity)
+
+        # unpack bin index -> absolute voxel coords
+        lx = loc // (dims[1] * dims[2]) + imin[0]
+        lrem = loc % (dims[1] * dims[2])
+        ly = lrem // dims[2] + imin[1]
+        lz = lrem % dims[2] + imin[2]
+        keys = jnp.where(
+            out_valid[:, None],
+            jnp.stack([lx, ly, lz], axis=-1),
+            _I32_MAX,
+        )
+        return VoxelPartials(
+            keys=keys,
+            sums=jnp.where(out_valid[:, None], bin_sums[loc], 0.0),
+            counts=jnp.where(out_valid, bin_counts[loc], 0.0),
+            num_voxels=num,
+            overflow=num > capacity,
+        )
+
     kx = jnp.where(valid, ijk[:, 0], _I32_MAX)
     ky = jnp.where(valid, ijk[:, 1], _I32_MAX)
     kz = jnp.where(valid, ijk[:, 2], _I32_MAX)
-
     kx, ky, kz, sx, sy, sz, sv = lax.sort(
         (kx, ky, kz, pts[:, 0], pts[:, 1], pts[:, 2], valid.astype(jnp.float32)),
         num_keys=3,
@@ -154,6 +224,8 @@ def finalize_voxels(partials: VoxelPartials) -> VoxelResult:
     )
 
 
-def voxel_downsample(cloud: Cloud, leaf_size: float, max_voxels: int) -> VoxelResult:
+def voxel_downsample(
+    cloud: Cloud, leaf_size: float, max_voxels: int, bounds=None
+) -> VoxelResult:
     """Downsample to per-voxel centroids.  See module docstring."""
-    return finalize_voxels(voxel_partials(cloud, leaf_size, max_voxels))
+    return finalize_voxels(voxel_partials(cloud, leaf_size, max_voxels, bounds))

@@ -76,7 +76,13 @@ def process_scan(
     #    downsample_input_data, cpp:943; we honor it: when disabled the
     #    cropped cloud is compacted straight into the voxel-capacity buffer)
     if config.downsample_input_data:
-        vox = voxel_downsample(cropped, config.downsample_leaf_size, config.max_voxels)
+        bounds = (
+            (config.x_min, config.y_min, config.z_min),
+            (config.x_max, config.y_max, config.z_max),
+        )  # cropped points are in-box: enables the packed single-key sort
+        vox = voxel_downsample(
+            cropped, config.downsample_leaf_size, config.max_voxels, bounds
+        )
         voxel_cloud = vox.cloud
         n_voxels = vox.num_voxels
     else:
