@@ -1,0 +1,90 @@
+"""In-process pub/sub message bus (the reference's ROS-graph equivalent).
+
+The reference moves data between processes over TCPROS topics — 1 input and
+8 output topics (obstacle_detection.cpp:1001-1011, SURVEY.md §5).  Inside
+one TPU host process, "transport" is a thread-safe topic registry with
+bounded per-subscriber queues honoring ROS's ``queue_size`` semantics (the
+reference subscribes with queue_size=1: a slow consumer sees only the
+freshest scan — same drop-oldest behavior here).
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from typing import Any, Callable
+
+__all__ = ["MessageBus", "Publisher", "Subscription"]
+
+
+class Subscription:
+    def __init__(self, topic: str, callback: Callable[[Any], None], queue_size: int):
+        self.topic = topic
+        self.callback = callback
+        self.queue = collections.deque(maxlen=max(1, queue_size))
+        self.dropped = 0  # observability: messages lost to the bound
+        self._lock = threading.Lock()
+
+    def push(self, msg: Any) -> None:
+        with self._lock:
+            if len(self.queue) == self.queue.maxlen:
+                self.dropped += 1
+            self.queue.append(msg)
+
+    def drain(self) -> int:
+        """Deliver every queued message to the callback; returns count."""
+        n = 0
+        while True:
+            with self._lock:
+                if not self.queue:
+                    return n
+                msg = self.queue.popleft()
+            self.callback(msg)
+            n += 1
+
+
+class Publisher:
+    def __init__(self, bus: "MessageBus", topic: str):
+        self.bus = bus
+        self.topic = topic
+        self.n_published = 0
+
+    def publish(self, msg: Any) -> None:
+        self.n_published += 1
+        self.bus._dispatch(self.topic, msg)
+
+
+class MessageBus:
+    """Topic registry.  ``spin_once`` drains queues on the caller's thread —
+    the single-threaded callback model of ``ros::spin()``
+    (obstacle_detection.cpp:1014); ``publish`` may be called from any
+    thread."""
+
+    def __init__(self, immediate: bool = False):
+        self._subs: dict[str, list[Subscription]] = {}
+        self._lock = threading.Lock()
+        self.immediate = immediate  # deliver on publish (no spin needed)
+
+    def advertise(self, topic: str, queue_size: int = 1) -> Publisher:
+        del queue_size  # publisher-side queueing is a transport concern
+        return Publisher(self, topic)
+
+    def subscribe(self, topic: str, callback: Callable[[Any], None], queue_size: int = 1) -> Subscription:
+        sub = Subscription(topic, callback, queue_size)
+        with self._lock:
+            self._subs.setdefault(topic, []).append(sub)
+        return sub
+
+    def _dispatch(self, topic: str, msg: Any) -> None:
+        with self._lock:
+            subs = list(self._subs.get(topic, ()))
+        for sub in subs:
+            if self.immediate:
+                sub.callback(msg)
+            else:
+                sub.push(msg)
+
+    def spin_once(self) -> int:
+        with self._lock:
+            subs = [s for group in self._subs.values() for s in group]
+        return sum(s.drain() for s in subs)

@@ -1,0 +1,172 @@
+"""Host driver: the obstacle-detection node (L3 process shell of SURVEY.md).
+
+Equivalent of the reference's ``main`` + ``cloud_cb`` plumbing
+(obstacle_detection.cpp:930-1015, :674-698): subscribe to the scan topic,
+accumulate ``accumulate_count`` transformed frames, run the pipeline, and
+publish the topic surface:
+
+  input : /kinect2/qhd/points          (cpp:80, :1001)
+  output: occupancy_grid               (cpp:1011, :852)
+          centroids (PointIndicesArray) (cpp:1009; dormant in reference)
+          euc_clusters                  (cpp:1010)
+          voxel_grid / statistical_outliers / planar_cloud / indices_cloud /
+          cloud_f  (per-stage debug clouds, gated by publish_point_clouds,
+          cpp:1004-1008)
+
+Differences by design: accumulation/decoding is the native C++ scanio path
+(the reference's conversion hot spot), the device pipeline is one jit call,
+and the only host<->device traffic is the scan upload + result download.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import numpy as np
+
+from ..config import PipelineConfig
+from ..native import ScanAccumulator
+from ..ops.transforms import RigidTransform, quat_to_matrix
+from ..pipeline import jit_pipeline
+from ..types import Cloud
+from .bus import MessageBus
+from .msgs import (
+    Header,
+    OccupancyGridMsg,
+    PointCloud2Msg,
+    PointIndicesArrayMsg,
+)
+from .tf import TransformBuffer
+
+__all__ = ["ObstacleDetectionNode", "POINT_TOPIC"]
+
+POINT_TOPIC = "/kinect2/qhd/points"
+log = logging.getLogger("pointcloud_obstacle_processing_tpu")
+
+
+class ObstacleDetectionNode:
+    def __init__(
+        self,
+        config: PipelineConfig,
+        bus: MessageBus | None = None,
+        tf_buffer: TransformBuffer | None = None,
+        input_topic: str = POINT_TOPIC,
+        world_frame: str = "world",
+        sensor_frame: str = "kinect2_link",
+        seed: int = 0,
+        force_numpy_accumulator: bool = False,
+    ):
+        config.validate()
+        self.config = config
+        self.bus = bus or MessageBus(immediate=True)
+        self.tf = tf_buffer or TransformBuffer()
+        self.world_frame = world_frame
+        self.sensor_frame = sensor_frame
+
+        self._pipeline = jit_pipeline(config)
+        self._key = jax.random.PRNGKey(seed)
+        self._cycle = 0
+        self._frames = 0
+        self.accumulator = ScanAccumulator(
+            config.max_points, force_numpy=force_numpy_accumulator
+        )
+        self.last_result = None
+        self.last_cycle_seconds = 0.0
+
+        # topic surface (cpp:1004-1011)
+        adv = self.bus.advertise
+        self.pub_occupancy = adv("occupancy_grid", 1)
+        self.pub_centroids = adv("centroids", 1)
+        self.pub_clusters = adv("euc_clusters", 5)
+        self.pub_voxel = adv("voxel_grid", 1)
+        self.pub_outliers = adv("statistical_outliers", 1)
+        self.pub_planar = adv("planar_cloud", 1000)
+        self.pub_indices = adv("indices_cloud", 1000)
+        self.pub_filtered = adv("cloud_f", 1000)
+        self.sub = self.bus.subscribe(input_topic, self.cloud_cb, queue_size=1)
+
+    # ------------------------------------------------------------ callbacks
+    def cloud_cb(self, msg: PointCloud2Msg) -> None:
+        """The reference's cloud_cb (cpp:674-928): accumulate until the
+        window is full, then process.  Note the reference quirk mirrored
+        here: the frame that triggers processing is *not* accumulated
+        (cpp:691-699 else-branch)."""
+        if self._frames < self.config.accumulate_count:
+            tf = self.tf.lookup_transform(self.world_frame, self.sensor_frame)
+            R = np.asarray(quat_to_matrix(tf.quat_xyzw))
+            t = np.asarray(tf.translation)
+            self.accumulator.append_cloud2(
+                msg.data, msg.n_points, msg.point_step,
+                msg.off_x, msg.off_y, msg.off_z, R, t,
+            )
+            self._frames += 1
+        else:
+            self.process_window()
+
+    # ------------------------------------------------------------- pipeline
+    def process_window(self):
+        """Run the device pipeline over the accumulated window and publish."""
+        t0 = time.perf_counter()
+        cfg = self.config
+        pts, valid = self.accumulator.snapshot()
+        cloud = Cloud(points=jax.numpy.asarray(pts), valid=jax.numpy.asarray(valid))
+        key = jax.random.fold_in(self._key, self._cycle)
+        sensor_pose = self.tf.lookup_transform(self.world_frame, self.sensor_frame)
+
+        result = self._pipeline(cloud, key, world_from_sensor=sensor_pose)
+        result = jax.block_until_ready(result)
+        self.last_result = result
+        self._cycle += 1
+        self._frames = 0
+        self.accumulator.clear()
+
+        seq = self._cycle
+        grid = np.asarray(result.grid.data)
+        self.pub_occupancy.publish(
+            OccupancyGridMsg(
+                header=Header.now(self.world_frame, seq),
+                resolution=cfg.block_size,
+                width=cfg.grid_width,
+                height=cfg.grid_height,
+                data=grid.reshape(-1),
+                origin_position=result.grid.origin_position,
+                origin_orientation_xyzw=result.grid.origin_orientation_xyzw,
+            )
+        )
+        self.pub_centroids.publish(
+            PointIndicesArrayMsg.from_array(
+                np.asarray(result.centroids.points.xyzr),
+                np.asarray(result.centroids.valid),
+                seq,
+            )
+        )
+        obst = np.asarray(result.obstacle_cloud.points)
+        labels = np.asarray(result.clusters.point_cluster)
+        self.pub_clusters.publish(
+            PointCloud2Msg.from_xyz(obst[labels >= 0], self.world_frame, seq=seq)
+        )
+
+        if cfg.publish_point_clouds:
+            def cloud_msg(c):
+                p = np.asarray(c.points)[np.asarray(c.valid)]
+                return PointCloud2Msg.from_xyz(p, self.world_frame, seq=seq)
+
+            self.pub_voxel.publish(cloud_msg(result.voxel_cloud))
+            self.pub_outliers.publish(cloud_msg(result.outlier_filtered_cloud))
+            self.pub_planar.publish(cloud_msg(result.obstacle_cloud))
+            self.pub_indices.publish(cloud_msg(result.plane_cloud))
+            self.pub_filtered.publish(cloud_msg(result.obstacle_cloud))
+
+        self.last_cycle_seconds = time.perf_counter() - t0
+        s = result.stats
+        log.info(
+            "cycle %d: %.1f ms | in=%d cropped=%d voxels=%d inliers=%d "
+            "nonplane=%d planes=%d clusters=%d",
+            seq, 1e3 * self.last_cycle_seconds,
+            int(s.accumulated_points), int(s.cropped_points),
+            int(s.voxel_points), int(s.inlier_points),
+            int(s.nonplane_points), int(s.num_planes), int(s.num_clusters),
+        )
+        return result

@@ -1,0 +1,153 @@
+"""Host runtime tests: native scanio, bus, tf, node driver, launch."""
+
+import numpy as np
+import pytest
+
+from pointcloud_obstacle_processing_tpu import REFERENCE_YAML_CONFIG
+from pointcloud_obstacle_processing_tpu.native import (
+    ScanAccumulator,
+    decode_cloud2,
+    native_available,
+)
+from pointcloud_obstacle_processing_tpu.runtime.bus import MessageBus
+from pointcloud_obstacle_processing_tpu.runtime.launch import launch
+from pointcloud_obstacle_processing_tpu.runtime.msgs import PointCloud2Msg
+from pointcloud_obstacle_processing_tpu.runtime.tf import TransformBuffer
+
+
+# --------------------------------------------------------------- native IO
+def test_native_builds():
+    assert native_available(), "scanio.cpp failed to build"
+
+
+@pytest.mark.parametrize("force_numpy", [False, True])
+def test_accumulator_roundtrip(rng, force_numpy):
+    acc = ScanAccumulator(1024, force_numpy=force_numpy)
+    xyz = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+    n = acc.append_xyz(xyz, R, t)
+    assert n == 100
+    assert acc.count() == 100
+    pts, valid = acc.snapshot()
+    assert valid[:100].all() and not valid[100:].any()
+    np.testing.assert_allclose(pts[:100], xyz, atol=1e-6)
+    acc.clear()
+    assert acc.count() == 0
+
+
+@pytest.mark.parametrize("force_numpy", [False, True])
+def test_accumulator_transform_and_nan(rng, force_numpy):
+    acc = ScanAccumulator(256, force_numpy=force_numpy)
+    xyz = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
+    xyz[7] = np.nan
+    # 90deg rotation about z + translation
+    R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+    t = np.array([1.0, 2.0, 3.0], np.float32)
+    acc.append_xyz(xyz, R, t)
+    assert acc.count() == 49  # NaN point dropped
+    pts, valid = acc.snapshot()
+    want = xyz[np.arange(50) != 7] @ R.T + t
+    np.testing.assert_allclose(pts[:49], want, atol=1e-5)
+
+
+@pytest.mark.parametrize("force_numpy", [False, True])
+def test_accumulator_capacity_clamp(rng, force_numpy):
+    acc = ScanAccumulator(64, force_numpy=force_numpy)
+    xyz = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    acc.append_xyz(xyz, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    assert acc.count() == 64
+
+
+def test_cloud2_roundtrip(rng):
+    xyz = rng.uniform(-2, 2, (500, 3)).astype(np.float32)
+    xyz[3] = np.inf
+    msg = PointCloud2Msg.from_xyz(xyz)
+    got = msg.xyz()
+    assert len(got) == 499
+    np.testing.assert_allclose(got, xyz[np.arange(500) != 3], atol=1e-6)
+
+    buf = msg.serialize()
+    msg2 = PointCloud2Msg.deserialize(buf)
+    assert msg2.n_points == 500
+    np.testing.assert_allclose(msg2.xyz(), got, atol=1e-6)
+
+
+def test_accumulator_cloud2_matches_xyz(rng):
+    xyz = rng.uniform(-2, 2, (300, 3)).astype(np.float32)
+    msg = PointCloud2Msg.from_xyz(xyz)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0.5, 0, 0], np.float32)
+    a1 = ScanAccumulator(512)
+    a1.append_cloud2(msg.data, msg.n_points, msg.point_step, 0, 4, 8, R, t)
+    a2 = ScanAccumulator(512, force_numpy=True)
+    a2.append_xyz(xyz, R, t)
+    p1, v1 = a1.snapshot()
+    p2, v2 = a2.snapshot()
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_allclose(p1[v1], p2[v2], atol=1e-6)
+
+
+# -------------------------------------------------------------------- bus
+def test_bus_queue_semantics():
+    bus = MessageBus()
+    seen = []
+    sub = bus.subscribe("t", seen.append, queue_size=2)
+    pub = bus.advertise("t")
+    for i in range(5):
+        pub.publish(i)
+    assert sub.dropped == 3
+    bus.spin_once()
+    assert seen == [3, 4]  # drop-oldest, like a full ROS queue
+
+
+def test_bus_immediate():
+    bus = MessageBus(immediate=True)
+    seen = []
+    bus.subscribe("t", seen.append)
+    bus.advertise("t").publish("x")
+    assert seen == ["x"]
+
+
+# --------------------------------------------------------------------- tf
+def test_tf_lookup_both_directions(rng):
+    tf = TransformBuffer()
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    tf.set_static("world", "kinect2_link", q, (1.0, 2.0, 3.0))
+    fwd = tf.lookup_transform("world", "kinect2_link")
+    inv = tf.lookup_transform("kinect2_link", "world")
+    pts = np.asarray(rng.normal(size=(20, 3)), np.float32)
+    back = np.asarray(inv.apply(fwd.apply(pts)))
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+    assert tf.can_transform("world", "kinect2_link")
+    assert not tf.can_transform("world", "mars")
+
+
+def test_tf_chained_frames(rng):
+    tf = TransformBuffer()
+    tf.set_static("world", "base", (0, 0, 0, 1), (1, 0, 0))
+    tf.set_static("base", "kinect2_link", (0, 0, 0, 1), (0, 1, 0))
+    out = tf.lookup_transform("world", "kinect2_link")
+    got = np.asarray(out.apply(np.zeros((1, 3), np.float32)))[0]
+    np.testing.assert_allclose(got, [1, 1, 0], atol=1e-6)
+
+
+# ------------------------------------------------------------ node driver
+def test_launch_end_to_end():
+    cfg = REFERENCE_YAML_CONFIG.replace(
+        max_points=16384, max_voxels=4096, cluster_capacity=1024,
+        max_clusters=16, accumulate_count=3, downsample_leaf_size=0.06,
+    )
+    node, _ = launch(config=cfg, cycles=2, points_per_frame=4096)
+    assert node.last_result is not None
+    r = node.last_result
+    assert int(r.clusters.num_clusters) >= 1
+    grid = np.asarray(r.grid.data)
+    assert (grid == 100).sum() > 0
+    # publishers fired each cycle
+    assert node.pub_occupancy.n_published == 2
+    assert node.pub_centroids.n_published == 2
+    assert node.pub_voxel.n_published == 2
+    # accumulator reset between windows
+    assert node.accumulator.count() == 0
