@@ -120,6 +120,7 @@ def _post_voxel(
         voxel_cloud,
         config.statistical_outlier_mean_k,
         config.statistical_outlier_std_dev_thresh,
+        backend=config.knn_backend,
     )
 
     # 4. multi-plane RANSAC removal

@@ -17,14 +17,28 @@ import jax
 __all__ = ["StageTimer", "time_fn"]
 
 
+def _sync(out):
+    """True device barrier: fetch one leaf to host.
+
+    ``jax.block_until_ready`` can return before execution completes on
+    remote-attached backends (observed on the axon TPU tunnel); a host
+    transfer of a result leaf is the only reliable fence.
+    """
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+    return out
+
+
 def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Median wall-clock seconds of fn(*args) with device sync."""
+    """Median wall-clock seconds of fn(*args) with a true device barrier."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
