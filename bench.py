@@ -5,6 +5,11 @@ Prints ONE JSON line on stdout:
 and a per-stage breakdown (the reference's timing-table equivalent,
 obstacle_detection.cpp:913-925) on stderr.
 
+Measurement notes: on the axon-tunneled TPU, ``block_until_ready`` is not a
+reliable fence and host transfers run ~50 MB/s, so every timed function is
+reduced to a scalar on device and synced by fetching that scalar — timings
+contain compute only.
+
 The reference publishes no numbers (BASELINE.md) — ``vs_baseline`` is
 measured against the BASELINE.json north-star target of 1000 full
 scans/sec/chip on 100k-point clouds.
@@ -23,19 +28,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _timed(fn, *args, iters=5):
+    """Min wall-clock of fn(*args) where fn returns a small array."""
+    import jax
+
+    np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from pointcloud_obstacle_processing_tpu import Cloud, REFERENCE_YAML_CONFIG
     from pointcloud_obstacle_processing_tpu.ops.cluster import euclidean_cluster
+    from pointcloud_obstacle_processing_tpu.ops.compaction import compact
     from pointcloud_obstacle_processing_tpu.ops.occupancy import crop_and_seed
     from pointcloud_obstacle_processing_tpu.ops.outliers import remove_statistical_outliers
     from pointcloud_obstacle_processing_tpu.ops.ransac import segment_planes
     from pointcloud_obstacle_processing_tpu.ops.voxel import voxel_downsample
     from pointcloud_obstacle_processing_tpu.pipeline import process_scan
     from pointcloud_obstacle_processing_tpu.utils.scene import SceneSpec, make_scene
-    from pointcloud_obstacle_processing_tpu.utils.timing import StageTimer, time_fn
+    from pointcloud_obstacle_processing_tpu.utils.timing import StageTimer
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -49,13 +68,15 @@ def main():
     )
 
     # ---- 100k-point scan batch --------------------------------------------
-    B = 8
+    B = 32
     spec = SceneSpec(n_ground=90_000, n_rocks=4, points_per_rock=2_000, n_noise=500)
     pts = np.zeros((B, cfg.max_points, 3), np.float32)
     valid = np.zeros((B, cfg.max_points), bool)
     n_pts = 0
+    uniq = min(B, 8)  # 8 distinct scenes, tiled
+    scenes = [make_scene(seed=i, spec=spec).points[: cfg.max_points] for i in range(uniq)]
     for i in range(B):
-        p = make_scene(seed=i, spec=spec).points[: cfg.max_points]
+        p = scenes[i % uniq]
         pts[i, : len(p)] = p
         valid[i, : len(p)] = True
         n_pts += len(p)
@@ -64,70 +85,107 @@ def main():
     clouds = Cloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
     keys = jax.random.split(jax.random.PRNGKey(0), B)
 
-    batched = jax.jit(jax.vmap(lambda c, k: process_scan(c, k, cfg)))
+    pipe = jax.vmap(lambda c, k: process_scan(c, k, cfg))
+
+    @jax.jit
+    def batched_scalar(c, k):
+        r = pipe(c, k)
+        # tiny result: forces the whole pipeline, transfers ~4 bytes
+        return jnp.sum(r.grid.data.astype(jnp.int32)) + jnp.sum(r.clusters.num_clusters)
+
     t0 = time.perf_counter()
-    out = batched(clouds, keys)
-    jax.block_until_ready(out)
+    np.asarray(batched_scalar(clouds, keys))
     log(f"compile+first batch: {time.perf_counter() - t0:.2f}s")
 
-    # throughput (steady state, full pipeline, batch of B scans)
-    t_batch = time_fn(batched, clouds, keys, iters=20, warmup=3)
+    t_batch = _timed(batched_scalar, clouds, keys, iters=6)
     scans_per_sec = B / t_batch
 
-    # p50 single-scan latency
-    single = jax.jit(lambda c, k: process_scan(c, k, cfg))
+    # p50 single-scan latency (scalarized output as well)
+    @jax.jit
+    def single_scalar(c, k):
+        r = process_scan(c, k, cfg)
+        return jnp.sum(r.grid.data.astype(jnp.int32))
+
     c0 = jax.tree_util.tree_map(lambda x: x[0], clouds)
-    t_single = time_fn(single, c0, keys[0], iters=20, warmup=3)
+    lat = []
+    np.asarray(single_scalar(c0, keys[0]))
+    for _ in range(11):
+        t0 = time.perf_counter()
+        np.asarray(single_scalar(c0, keys[0]))
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    t_single = lat[len(lat) // 2]
 
     # ---- per-stage table (reference cpp:913-925 equivalent) ----------------
-    timer = StageTimer()
-    seed_fn = jax.jit(lambda c: crop_and_seed(c, cfg))
-    timer.measure("occupancy grid creation", seed_fn, c0)
-    seeded = seed_fn(c0)
-    vox_fn = jax.jit(
-        lambda c: voxel_downsample(c, cfg.downsample_leaf_size, cfg.max_voxels)
-    )
-    timer.measure("downsampling", vox_fn, seeded.cloud)
-    vox = vox_fn(seeded.cloud)
-    out_fn = jax.jit(
-        lambda c: remove_statistical_outliers(
-            c, cfg.statistical_outlier_mean_k, cfg.statistical_outlier_std_dev_thresh
-        )
-    )
-    timer.measure("statistical outlier removal", out_fn, vox.cloud)
-    outl = out_fn(vox.cloud)
-    seg_fn = jax.jit(lambda c, k: segment_planes(c, k, cfg))
-    timer.measure("plane segmentation", seg_fn, outl.cloud, keys[0])
-    seg = seg_fn(outl.cloud, keys[0])
-    from pointcloud_obstacle_processing_tpu.ops.compaction import compact
+    # each stage timed batched with a scalar reduction; deltas are honest.
+    bounds = ((cfg.x_min, cfg.y_min, cfg.z_min), (cfg.x_max, cfg.y_max, cfg.z_max))
 
-    comp = jax.jit(lambda c: compact(c, cfg.cluster_capacity))(seg.nonplane_cloud)
-    clus_fn = jax.jit(
-        lambda c: euclidean_cluster(
-            c,
-            cfg.euc_cluster_tolerance,
-            cfg.euc_min_cluster_size,
-            cfg.euc_max_cluster_size,
-            cfg.max_clusters,
-            cfg.cluster_max_iters,
+    def s_crop(c):
+        r = jax.vmap(lambda cc: crop_and_seed(cc, cfg))(c)
+        return jnp.sum(r.counts)
+
+    seeded = jax.jit(jax.vmap(lambda cc: crop_and_seed(cc, cfg)))(clouds)
+
+    def s_vox(c):
+        r = jax.vmap(
+            lambda cc: voxel_downsample(cc, cfg.downsample_leaf_size, cfg.max_voxels, bounds)
+        )(c)
+        return jnp.sum(r.cloud.points)
+
+    vox = jax.jit(
+        jax.vmap(lambda cc: voxel_downsample(cc, cfg.downsample_leaf_size, cfg.max_voxels, bounds))
+    )(seeded.cloud)
+
+    def s_out(c):
+        r = jax.vmap(
+            lambda cc: remove_statistical_outliers(
+                cc, cfg.statistical_outlier_mean_k,
+                cfg.statistical_outlier_std_dev_thresh, backend=cfg.knn_backend,
+            )
+        )(c)
+        return jnp.sum(r.cloud.valid)
+
+    outl = jax.jit(
+        jax.vmap(
+            lambda cc: remove_statistical_outliers(
+                cc, cfg.statistical_outlier_mean_k,
+                cfg.statistical_outlier_std_dev_thresh, backend=cfg.knn_backend,
+            )
         )
-    )
-    timer.measure("euclidian clustering", clus_fn, comp.cloud)
+    )(vox.cloud)
+
+    def s_seg(c, k):
+        r = jax.vmap(lambda cc, kk: segment_planes(cc, kk, cfg))(c, k)
+        return jnp.sum(r.nonplane_cloud.valid)
+
+    seg = jax.jit(jax.vmap(lambda cc, kk: segment_planes(cc, kk, cfg)))(outl.cloud, keys)
+    comp = jax.jit(jax.vmap(lambda cc: compact(cc, cfg.cluster_capacity)))(seg.nonplane_cloud)
+
+    def s_clus(c):
+        r = jax.vmap(
+            lambda cc: euclidean_cluster(
+                cc, cfg.euc_cluster_tolerance, cfg.euc_min_cluster_size,
+                cfg.euc_max_cluster_size, cfg.max_clusters, cfg.cluster_max_iters,
+            )
+        )(c)
+        return jnp.sum(r.clusters.sizes)
+
+    timer = StageTimer()
+    timer.record("occupancy grid creation", _timed(jax.jit(s_crop), clouds) / B)
+    timer.record("downsampling", _timed(jax.jit(s_vox), seeded.cloud) / B)
+    timer.record("statistical outlier removal", _timed(jax.jit(s_out), vox.cloud) / B)
+    timer.record("plane segmentation", _timed(jax.jit(s_seg), outl.cloud, keys) / B)
+    timer.record("euclidian clustering", _timed(jax.jit(s_clus), comp.cloud) / B)
     log(timer.table())
 
-    stats = jax.tree_util.tree_map(lambda x: np.asarray(x), out.stats)
+    result = jax.jit(pipe)(clouds, keys)
     log(
         "stage counts (scan 0): "
         + ", ".join(
-            f"{k}={np.asarray(getattr(out.stats, k))[0]}"
+            f"{k}={np.asarray(getattr(result.stats, k))[0]}"
             for k in (
-                "accumulated_points",
-                "cropped_points",
-                "voxel_points",
-                "inlier_points",
-                "nonplane_points",
-                "num_planes",
-                "num_clusters",
+                "accumulated_points", "cropped_points", "voxel_points",
+                "inlier_points", "nonplane_points", "num_planes", "num_clusters",
             )
         )
     )

@@ -79,12 +79,14 @@ def weighted_histogram_mxu(
     lo = _onehot_bf16(ids % b, b)  # [N, B]
 
     w32 = jnp.where(valid[:, None], weights, 0.0)
-    terms = []
-    w_hi = w32.astype(jnp.bfloat16)
-    terms.append(w_hi)
+    terms = [w32.astype(jnp.bfloat16)]
     if exact_f32:
-        terms.append((w32 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16))
+        terms.append((w32 - terms[0].astype(jnp.float32)).astype(jnp.bfloat16))
 
+    # Per-channel matmuls: a concatenated-channels variant (one big matmul)
+    # was measured no faster and multiplies peak HBM by the channel count
+    # under vmap (batched whi_all OOMs at batch 32) — sequential channels
+    # keep the live set to one [N, A] factor at a time.
     out = jnp.zeros((a, b, c), jnp.float32)
     for t in terms:
         for ci in range(c):

@@ -1,0 +1,122 @@
+"""Pallas TPU kernel: fused weighted point binning (EXPERIMENTAL — not wired
+into the pipeline).
+
+Status: on the current Mosaic toolchain this kernel measures slower than the
+XLA one-hot-matmul path (ops/mxu_histogram.py) and its dot accumulates in
+bf16 despite ``preferred_element_type=f32`` (counts come back inexact), so
+the pipeline keeps the XLA paths.  Kept as the starting point for the
+VMEM-resident binning design described below.
+
+The pipeline's two binning stages — the occupancy histogram
+(obstacle_detection.cpp:195-215) and VoxelGrid binning (cpp:282-285) — are
+scatter-adds, which XLA serializes on TPU (~20+ cycles/update: ~3 ms for a
+131k cloud).  The MXU identity used in ops/mxu_histogram.py
+(``bins = onehot_hi^T @ onehot_lo``) fixes the arithmetic but XLA
+materializes the [N, A]/[N, B] one-hot factors in HBM, so the pure-XLA
+version is bandwidth-bound.
+
+This kernel keeps everything in VMEM: points stream through in chunks, the
+one-hot tiles are built on the fly on the VPU, partial [A, B] products
+accumulate on the MXU into a persistent VMEM scratch across the sequential
+TPU grid, and the [C, A, B] result is written once at the last step.  HBM
+traffic = the points themselves + the output — speed-of-light for this op.
+
+Weights ride the hi factor in bf16.  Exactness: one-hot entries and split
+weight terms are exactly representable in bf16 and the MXU accumulates in
+float32, so counts are exact and weighted sums carry only the two-term
+bf16-split error (~2^-16 relative).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["binned_weighted_sum"]
+
+
+def _kernel(ids_ref, w_ref, out_ref, acc, *, a, b, n_terms):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    ids = ids_ref[...]  # [chunk] int32; invalid rows carry a*b (oob)
+    w = w_ref[...]  # [chunk, n_terms*C] float32 (pre-split terms)
+    chunk = ids.shape[0]
+
+    hi = ids // b
+    lo = ids % b
+    # Build the hi one-hot already TRANSPOSED ([A, chunk]) so the dot below
+    # is the natural [M, K] @ [K, N] MXU form — contracting over the
+    # sublane axis would make Mosaic insert per-chunk transposes.
+    iota_a = lax.broadcasted_iota(jnp.int32, (a, chunk), 0)
+    iota_b = lax.broadcasted_iota(jnp.int32, (chunk, b), 1)
+    hi_ohT = hi[None, :] == iota_a  # bool [A, chunk]; oob id -> all-false col
+    lo_oh = (lo[:, None] == iota_b).astype(jnp.bfloat16)  # [chunk, B]
+
+    c_total = w.shape[-1]
+    for c in range(c_total):
+        whiT = jnp.where(hi_ohT, w[:, c][None, :], 0.0).astype(jnp.bfloat16)
+        part = jnp.dot(whiT, lo_oh, preferred_element_type=jnp.float32)  # [A, B]
+        acc[c % (c_total // n_terms), :, :] += part
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        out_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "hi_size", "chunk", "exact_f32"))
+def binned_weighted_sum(
+    ids: jax.Array,
+    weights: jax.Array,
+    valid: jax.Array,
+    k: int,
+    hi_size: int = 128,
+    chunk: int = 1024,
+    exact_f32: bool = True,
+) -> jax.Array:
+    """``sums[j, c] = sum_{ids[i]==j, valid[i]} weights[i, c]`` -> [k, C] f32.
+
+    ids: [N] int32 in [0, k); weights: [N, C] f32; N must divide by chunk.
+    """
+    n, c = weights.shape
+    a = hi_size
+    b = -(-k // a)
+    if n % chunk:
+        raise ValueError(f"N={n} not divisible by chunk={chunk}")
+
+    ids = jnp.where(valid, ids, a * b).astype(jnp.int32)
+    w32 = jnp.where(valid[:, None], weights, 0.0)
+    if exact_f32:
+        w_hi = w32.astype(jnp.bfloat16).astype(jnp.float32)
+        terms = jnp.concatenate([w_hi, w32 - w_hi], axis=-1)  # [N, 2C]
+        n_terms = 2
+    else:
+        terms = w32
+        n_terms = 1
+
+    grid = (n // chunk,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, a=a, b=b, n_terms=n_terms),
+        out_shape=jax.ShapeDtypeStruct((c, a, b), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (chunk, n_terms * c), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (c, a, b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((c, a, b), jnp.float32)],
+    )(ids, terms)
+
+    return jnp.moveaxis(out, 0, -1).reshape(a * b, c)[:k]
