@@ -56,12 +56,22 @@ def histogram2d_mxu(
     return counts.astype(jnp.int32)
 
 
+def _traffic_optimal_hi(k: int) -> int:
+    """HBM-traffic-optimal hi-factor width: lo reads cost ~2*N*B per channel
+    vs whi build ~4*N*A, minimized at A ~= sqrt(K/2) (measured best on v5e:
+    320 beats 128 by ~26% at K=214k)."""
+    import math
+
+    a = int(math.sqrt(k / 2) / 64 + 0.5) * 64
+    return max(128, min(512, a))
+
+
 def weighted_histogram_mxu(
     ids: jax.Array,
     weights: jax.Array,
     valid: jax.Array,
     k: int,
-    hi_size: int = 128,
+    hi_size: int | None = None,
     exact_f32: bool = True,
 ) -> jax.Array:
     """Segment-sum ``sums[j, c] = sum_{ids[i]==j} weights[i, c]`` on the MXU.
@@ -72,7 +82,7 @@ def weighted_histogram_mxu(
     (fine for counts / already-small values).
     """
     n, c = weights.shape
-    a = hi_size
+    a = hi_size or _traffic_optimal_hi(k)
     b = -(-k // a)  # cdiv
     ids = jnp.where(valid, ids, a * b)  # out-of-range -> zero one-hot rows
     hi = _onehot_bf16(ids // b, a)  # [N, A]
