@@ -1,11 +1,14 @@
 """Pallas TPU kernel: fused weighted point binning (EXPERIMENTAL — not wired
 into the pipeline).
 
-Status: on the current Mosaic toolchain this kernel measures slower than the
-XLA one-hot-matmul path (ops/mxu_histogram.py) and its dot accumulates in
-bf16 despite ``preferred_element_type=f32`` (counts come back inexact), so
-the pipeline keeps the XLA paths.  Kept as the starting point for the
-VMEM-resident binning design described below.
+Status: on the current Mosaic toolchain this kernel measures ~97 ms for
+(N=131k, K=214k, C=4) — slower than the XLA one-hot-matmul path
+(ops/mxu_histogram.py, ~3.6 ms/scan) — and its dot accumulates below f32
+despite ``preferred_element_type=f32`` (integer counts come back inexact;
+identical error across layout/transposition/pow2-divisor variants, so the
+loss is inside the Mosaic dot lowering, not the index math).  The pipeline
+keeps the XLA paths; kept as the starting point for the VMEM-resident
+binning design described below.
 
 The pipeline's two binning stages — the occupancy histogram
 (obstacle_detection.cpp:195-215) and VoxelGrid binning (cpp:282-285) — are
@@ -87,8 +90,12 @@ def binned_weighted_sum(
     ids: [N] int32 in [0, k); weights: [N, C] f32; N must divide by chunk.
     """
     n, c = weights.shape
-    a = hi_size
-    b = -(-k // a)
+    # power-of-two lo width: ids//b and ids%b become shift/mask — Mosaic has
+    # no fast integer division, a general divisor serializes the whole chunk
+    b = 1 << max(7, (k - 1).bit_length() - hi_size.bit_length() + 1)
+    while hi_size * b < k:
+        b <<= 1
+    a = -(-k // b)
     if n % chunk:
         raise ValueError(f"N={n} not divisible by chunk={chunk}")
 
