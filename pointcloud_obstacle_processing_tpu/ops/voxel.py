@@ -115,7 +115,9 @@ def _pack_spec(bounds, leaf_size: float):
 
     imin = [math.floor(v / leaf_size) for v in (x0, y0, z0)]
     imax = [math.floor(v / leaf_size) for v in (x1, y1, z1)]
-    dims = [b - a + 2 for a, b in zip(imin, imax)]  # +1 span, +1 safety
+    # max(..., 1): a degenerate/inverted box (e.g. the C++ default z_min >
+    # z_max quirk, cpp:952-953) admits no points; keep shapes positive.
+    dims = [max(b - a + 2, 1) for a, b in zip(imin, imax)]  # +1 span, +1 safety
     if dims[0] * dims[1] * dims[2] >= 2**31 - 2:
         return None
     return imin, dims

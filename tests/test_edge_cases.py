@@ -1,0 +1,95 @@
+"""Degenerate-input robustness (SURVEY.md §5 failure-detection parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_obstacle_processing_tpu import Cloud, PipelineConfig, REFERENCE_YAML_CONFIG
+from pointcloud_obstacle_processing_tpu.pipeline import jit_pipeline
+
+CFG = REFERENCE_YAML_CONFIG.replace(
+    max_points=4096, max_voxels=1024, cluster_capacity=256, max_clusters=8,
+    downsample_leaf_size=0.1,
+)
+
+
+def _run(pts, valid=None):
+    cloud = (
+        Cloud.pad_to(pts, CFG.max_points)
+        if valid is None
+        else Cloud.from_points(pts, valid)
+    )
+    return jit_pipeline(CFG)(cloud, jax.random.PRNGKey(0))
+
+
+def test_empty_cloud():
+    r = _run(np.zeros((0, 3), np.float32))
+    s = r.stats
+    assert int(s.cropped_points) == 0
+    assert int(s.num_planes) == 0
+    assert int(s.num_clusters) == 0
+    grid = np.asarray(r.grid.data)
+    assert grid.shape == (CFG.grid_height, CFG.grid_width)
+    # no points: every row average is 0, so no holes are flagged (cpp:258
+    # comparison is strict <; 0 < 0*x is false)
+    assert (grid == 0).all()
+
+
+def test_all_nan():
+    pts = np.full((1000, 3), np.nan, np.float32)
+    r = _run(pts)
+    assert int(r.stats.cropped_points) == 0
+    assert int(r.stats.num_clusters) == 0
+
+
+def test_all_out_of_bounds():
+    pts = np.full((1000, 3), 99.0, np.float32)
+    r = _run(pts)
+    assert int(r.stats.cropped_points) == 0
+
+
+def test_single_voxel_cloud():
+    # everything lands in one voxel -> 1 voxel, no plane, one tiny cluster
+    rng = np.random.default_rng(0)
+    pts = (np.array([2.0, 2.0, 0.1]) + rng.normal(0, 0.005, (500, 3))).astype(np.float32)
+    r = _run(pts)
+    assert int(r.stats.voxel_points) >= 1
+    assert int(r.stats.voxel_points) <= 8  # a few leaves at most
+
+
+def test_cpp_default_crop_rejects_everything():
+    # the C++ defaults have z_min=0 > z_max=-0.5 (cpp:952-953): every point
+    # fails the z gate unless YAML overrides — reproduce that quirk
+    cfg = PipelineConfig().replace(
+        max_points=1024, max_voxels=256, cluster_capacity=64, max_clusters=4
+    )
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.5, 0.5, (500, 3)).astype(np.float32)
+    r = jit_pipeline(cfg)(Cloud.pad_to(pts, cfg.max_points), jax.random.PRNGKey(0))
+    assert int(r.stats.cropped_points) == 0
+
+
+def test_validate_rejects_bad_config():
+    with pytest.raises(ValueError):
+        REFERENCE_YAML_CONFIG.replace(max_voxels=1001).validate()  # not /8
+    with pytest.raises(ValueError):
+        REFERENCE_YAML_CONFIG.replace(x_min=5.0, x_max=1.0).validate()
+
+
+def test_plane_only_scene():
+    # pure ground plane: everything is plane inliers, nothing to cluster
+    rng = np.random.default_rng(1)
+    pts = np.stack(
+        [
+            rng.uniform(0, 4.5, 3000),
+            rng.uniform(0, 3.78, 3000),
+            rng.normal(0, 0.005, 3000),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    r = _run(pts)
+    assert int(r.stats.num_planes) >= 1
+    assert int(r.stats.num_clusters) == 0
+    # the 30%-remaining rule means <= 30% of the cloud survives
+    assert int(r.stats.nonplane_points) <= 0.35 * int(r.stats.inlier_points)
