@@ -171,12 +171,27 @@ def main():
         return jnp.sum(r.clusters.sizes)
 
     timer = StageTimer()
-    timer.record("occupancy grid creation", _timed(jax.jit(s_crop), clouds) / B)
-    timer.record("downsampling", _timed(jax.jit(s_vox), seeded.cloud) / B)
-    timer.record("statistical outlier removal", _timed(jax.jit(s_out), vox.cloud) / B)
-    timer.record("plane segmentation", _timed(jax.jit(s_seg), outl.cloud, keys) / B)
-    timer.record("euclidian clustering", _timed(jax.jit(s_clus), comp.cloud) / B)
+    t_crop = _timed(jax.jit(s_crop), clouds) / B
+    t_vox = _timed(jax.jit(s_vox), seeded.cloud) / B
+    t_out = _timed(jax.jit(s_out), vox.cloud) / B
+    t_seg = _timed(jax.jit(s_seg), outl.cloud, keys) / B
+    t_clus = _timed(jax.jit(s_clus), comp.cloud) / B
+    timer.record("occupancy grid creation", t_crop)
+    timer.record("downsampling", t_vox)
+    timer.record("statistical outlier removal", t_out)
+    timer.record("plane segmentation", t_seg)
+    timer.record("euclidian clustering", t_clus)
     log(timer.table())
+
+    # BASELINE.json config throughputs (#1 crop+voxel, #2 ransac+outlier,
+    # #3 cluster extraction, #4 full pipeline, #5 batched stream)
+    baseline_configs = {
+        "1_crop_voxel_scans_per_s": round(1.0 / (t_crop + t_vox), 1),
+        "2_outlier_ransac_scans_per_s": round(1.0 / (t_out + t_seg), 1),
+        "3_cluster_extraction_scans_per_s": round(1.0 / t_clus, 1),
+        "4_full_pipeline_p50_latency_ms": None,  # filled below
+        "5_batched_stream_scans_per_s": None,
+    }
 
     result = jax.jit(pipe)(clouds, keys)
     log(
@@ -195,6 +210,9 @@ def main():
         f"p50 single-scan latency: {t_single*1e3:.2f} ms"
     )
 
+    baseline_configs["4_full_pipeline_p50_latency_ms"] = round(t_single * 1e3, 3)
+    baseline_configs["5_batched_stream_scans_per_s"] = round(scans_per_sec, 2)
+
     print(
         json.dumps(
             {
@@ -203,6 +221,7 @@ def main():
                 "unit": "scans/s",
                 "vs_baseline": round(scans_per_sec / 1000.0, 4),
                 "p50_latency_ms": round(t_single * 1e3, 3),
+                "configs": baseline_configs,
             }
         )
     )

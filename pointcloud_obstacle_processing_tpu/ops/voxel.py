@@ -130,10 +130,12 @@ def voxel_partials(
 
     ``bounds``: optional static ((x0,y0,z0), (x1,y1,z1)) crop box enclosing
     every valid point.  When given (the pipeline passes its crop box) the
-    three voxel coords pack into one int32 key and the sort runs with a
-    single key + permutation payload — materially cheaper on TPU than a
-    7-operand 3-key sort.  Packing is monotonic in (ix, iy, iz), so the
-    output ordering is identical to the unpacked path.
+    voxel coords pack into one bounded int32 key and binning goes through
+    the sort-free dense-bin path: MXU one-hot matmuls for modest bin counts
+    (K <= 2^19), a fused [K, 4] scatter-add above that (K <= 2^23).  Without
+    bounds (or for astronomically fine grids) the 3-key-sort fallback
+    handles unbounded coordinates.  All paths produce ascending (ix, iy, iz)
+    output order.
     """
     pts = cloud.points
     n = cloud.capacity

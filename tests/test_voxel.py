@@ -72,6 +72,28 @@ def test_voxel_negative_coords():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_voxel_bounded_paths_match_oracle(rng):
+    """All three binning paths (MXU matmul, dense scatter, 3-key sort) must
+    produce identical voxel sets."""
+    pts = rng.uniform([0, 0, -0.5], [4.5, 3.78, 0.25], size=(4000, 3)).astype(np.float32)
+    cloud = Cloud.pad_to(pts, 4096)
+    bounds = ((0.0, 0.0, -0.5), (4.5, 3.78, 0.25))
+    for leaf in (0.06, 0.02):  # 0.06 -> MXU path (K~60k); 0.02 -> scatter (K~1.7M)
+        want = oracle.voxel_downsample(pts, leaf)
+        res_b = voxel_downsample(cloud, leaf, 4096, bounds)
+        res_s = voxel_downsample(cloud, leaf, 4096)  # sort fallback
+        assert int(res_b.num_voxels) == len(want), leaf
+        assert int(res_s.num_voxels) == len(want), leaf
+        got_b = np.asarray(res_b.cloud.points)[np.asarray(res_b.cloud.valid)]
+        got_s = np.asarray(res_s.cloud.points)[np.asarray(res_s.cloud.valid)]
+        np.testing.assert_allclose(
+            _sorted_rows(got_b, leaf), _sorted_rows(want, leaf), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            _sorted_rows(got_s, leaf), _sorted_rows(want, leaf), atol=1e-4
+        )
+
+
 def test_voxel_scene_reduces_ground(rng):
     scene = make_scene(seed=1)
     cloud = Cloud.pad_to(scene.points, 131072)
