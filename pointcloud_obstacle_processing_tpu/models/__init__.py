@@ -1,0 +1,41 @@
+"""Model registry.
+
+This framework's "model family" is perception pipelines, not neural nets —
+the reference has no learned components (SURVEY.md §2.3: TP/PP/EP absent,
+not fabricated).  The flagship model is the obstacle-detection pipeline;
+variants are config presets.  Exposed here in the conventional
+``models/`` location so users find the entry points where they expect them.
+"""
+
+from ..config import PipelineConfig, REFERENCE_YAML_CONFIG
+from ..pipeline import jit_pipeline, process_frames, process_scan
+
+__all__ = [
+    "ObstacleDetectionModel",
+    "process_scan",
+    "process_frames",
+    "jit_pipeline",
+    "FLAGSHIP_CONFIG",
+]
+
+# The benchmark/flagship configuration: 100k-pt scans in a 128Ki buffer
+# (BASELINE.json north-star shape).
+FLAGSHIP_CONFIG = REFERENCE_YAML_CONFIG.replace(
+    max_points=131072,
+    max_voxels=16384,
+    cluster_capacity=4096,
+    max_clusters=64,
+    downsample_leaf_size=0.04,
+)
+
+
+class ObstacleDetectionModel:
+    """Thin stateful facade over the pure pipeline: config + compiled fn."""
+
+    def __init__(self, config: PipelineConfig | None = None):
+        self.config = config or FLAGSHIP_CONFIG
+        self.config.validate()
+        self._fn = jit_pipeline(self.config)
+
+    def __call__(self, cloud, key, world_from_sensor=None):
+        return self._fn(cloud, key, world_from_sensor=world_from_sensor)

@@ -44,6 +44,18 @@ def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
     return times[len(times) // 2]
 
 
+def profile_trace(fn, *args, trace_dir: str = "/tmp/pcp_tpu_trace"):
+    """Capture a jax.profiler trace of one fn(*args) execution.
+
+    View with TensorBoard/xprof.  Complements the StageTimer table the way
+    the reference's chrono brackets complemented its ROS logs.
+    """
+    with jax.profiler.trace(trace_dir):
+        out = fn(*args)
+        _sync(out)
+    return trace_dir
+
+
 @dataclass
 class StageTimer:
     """Collects named stage timings and renders the reference's table."""
