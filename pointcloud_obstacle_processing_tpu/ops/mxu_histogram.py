@@ -81,6 +81,22 @@ def weighted_histogram_mxu(
     via the two-term bf16 split; with False, weights are bf16-rounded
     (fine for counts / already-small values).
     """
+    out, a, b = weighted_histogram_blocks(ids, weights, valid, k, hi_size, exact_f32)
+    return out.reshape(a * b, -1)[:k]
+
+
+def weighted_histogram_blocks(
+    ids: jax.Array,
+    weights: jax.Array,
+    valid: jax.Array,
+    k: int,
+    hi_size: int | None = None,
+    exact_f32: bool = True,
+):
+    """Like weighted_histogram_mxu but returns the block form
+    ([A, B, C], a, b) — the flattened position ``hi*b + lo`` equals the
+    original id, so block-structured consumers (compact_occupied_blocks)
+    can work on the 2-D layout directly."""
     n, c = weights.shape
     a = hi_size or _traffic_optimal_hi(k)
     b = -(-k // a)  # cdiv
@@ -107,4 +123,33 @@ def weighted_histogram_mxu(
                 preferred_element_type=jnp.float32,
             )  # [A, B]
             out = out.at[:, :, ci].add(part)
-    return out.reshape(a * b, c)[:k]
+    return out, a, b
+
+
+def compact_occupied_blocks(occupied: jax.Array, capacity: int):
+    """Indices of the first ``capacity`` True entries of a [A, B] block grid.
+
+    Block-structured stream compaction: per-block counts (lane-axis reduce),
+    a tiny cumsum over the A blocks, an [A]-wide searchsorted per output
+    slot, then a lane-axis cumsum + argmax inside the selected block row.
+    Everything is lane-vectorized — unlike a flat cumsum + searchsorted over
+    A*B elements, which costs several ms at K~2e5 on TPU.
+
+    Returns (flat_idx [capacity] int32 ascending, num_occupied []).
+    """
+    a, b = occupied.shape
+    occ_i = occupied.astype(jnp.int32)
+    per_block = jnp.sum(occ_i, axis=1)  # [A]
+    offsets = jnp.cumsum(per_block)  # inclusive
+    num = offsets[-1]
+    excl = offsets - per_block
+
+    target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1
+    blk = jnp.minimum(
+        jnp.searchsorted(offsets, target, side="left").astype(jnp.int32), a - 1
+    )
+    rows = occ_i[blk]  # [capacity, B] contiguous row gathers
+    local = jnp.cumsum(rows, axis=1)
+    tgt = (target - excl[blk])[:, None]
+    lane = jnp.argmax((local == tgt) & (rows > 0), axis=1).astype(jnp.int32)
+    return blk * b + lane, num

@@ -156,7 +156,11 @@ def voxel_partials(
         packed = jnp.where(valid, (ix * dims[1] + iy) * dims[2] + iz, K)
         w = valid.astype(jnp.float32)
 
-        from .mxu_histogram import MXU_HISTOGRAM_MAX_BINS, weighted_histogram_mxu
+        from .mxu_histogram import (
+            MXU_HISTOGRAM_MAX_BINS,
+            compact_occupied_blocks,
+            weighted_histogram_blocks,
+        )
 
         if K <= MXU_HISTOGRAM_MAX_BINS:
             # MXU path: per-bin [offset_x, offset_y, offset_z, count] via
@@ -166,27 +170,28 @@ def voxel_partials(
             corner = ijk.astype(jnp.float32) * jnp.float32(leaf_size)
             off = jnp.where(valid[:, None], pts - corner, 0.0)
             upd = jnp.concatenate([off, w[:, None]], axis=-1)
-            bins = weighted_histogram_mxu(packed, upd, valid, K)
-            bin_rel_sums = bins[:, :3]
-            bin_counts = bins[:, 3]
+            blocks, ha, hb = weighted_histogram_blocks(packed, upd, valid, K)
+            bins = blocks.reshape(ha * hb, 4)
+            # padded bins (>= K) have zero counts and are never occupied
+            occ2d = blocks[:, :, 3] > 0.0
             corner_relative = True
         else:
             # scatter path: one fused [K, 4] scatter-add (serialized per
             # index on TPU, but N-bound — stays viable for huge bin counts
             # like the reference's 0.015 leaf over a 200-frame window)
             upd = jnp.concatenate([pts * w[:, None], w[:, None]], axis=-1)
-            bins = jnp.zeros((K, 4), jnp.float32).at[packed].add(upd, mode="drop")
-            bin_rel_sums = bins[:, :3]
-            bin_counts = bins[:, 3]
+            kp = -(-K // 128) * 128
+            bins = jnp.zeros((kp, 4), jnp.float32).at[packed].add(upd, mode="drop")
+            occ2d = (bins[:, 3] > 0.0).reshape(kp // 128, 128)
             corner_relative = False
 
-        occ = (bin_counts > 0.0).astype(jnp.int32)
-        csum = jnp.cumsum(occ)
-        num = csum[-1]
+        # block-structured stream compaction of the occupied bins: several
+        # ms cheaper than a flat K-wide cumsum + searchsorted on TPU
+        loc, num = compact_occupied_blocks(occ2d, capacity)
         target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1
-        loc = jnp.searchsorted(csum, target, side="left").astype(jnp.int32)
-        loc = jnp.minimum(loc, K - 1)
         out_valid = target - 1 < jnp.minimum(num, capacity)
+        bin_rel_sums = bins[:, :3]
+        bin_counts = bins[:, 3]
 
         # unpack bin index -> absolute voxel coords
         lx = loc // (dims[1] * dims[2]) + imin[0]
