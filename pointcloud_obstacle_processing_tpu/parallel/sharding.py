@@ -27,8 +27,6 @@ SURVEY.md §2.3).  The TPU-native equivalents:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

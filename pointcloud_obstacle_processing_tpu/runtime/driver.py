@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import PipelineConfig
 from ..native import ScanAccumulator
-from ..ops.transforms import RigidTransform, quat_to_matrix
+from ..ops.transforms import quat_to_matrix
 from ..pipeline import jit_pipeline
 from ..types import Cloud
 from .bus import MessageBus
@@ -57,13 +57,21 @@ class ObstacleDetectionNode:
         sensor_frame: str = "kinect2_link",
         seed: int = 0,
         force_numpy_accumulator: bool = False,
+        async_pipeline: bool = False,
     ):
+        """``async_pipeline``: double-buffered mode — window k is dispatched
+        to the device without blocking and window k-1's results are fetched
+        and published instead, overlapping device compute with the host's
+        accumulation of the next window (one-window publish latency).  Call
+        :meth:`flush` to drain the final pending window."""
         config.validate()
         self.config = config
         self.bus = bus or MessageBus(immediate=True)
         self.tf = tf_buffer or TransformBuffer()
         self.world_frame = world_frame
         self.sensor_frame = sensor_frame
+        self.async_pipeline = async_pipeline
+        self._pending = None  # (device result, seq) awaiting fetch
 
         self._pipeline = jit_pipeline(config)
         self._key = jax.random.PRNGKey(seed)
@@ -107,8 +115,12 @@ class ObstacleDetectionNode:
 
     # ------------------------------------------------------------- pipeline
     def process_window(self):
-        """Run the device pipeline over the accumulated window and publish."""
-        t0 = time.perf_counter()
+        """Run the device pipeline over the accumulated window and publish.
+
+        In async mode the dispatch returns immediately; the previous
+        window's (already computed) results are fetched and published
+        instead, so the device crunches window k while the host accumulates
+        window k+1."""
         cfg = self.config
         pts, valid = self.accumulator.snapshot()
         cloud = Cloud(points=jax.numpy.asarray(pts), valid=jax.numpy.asarray(valid))
@@ -116,13 +128,29 @@ class ObstacleDetectionNode:
         sensor_pose = self.tf.lookup_transform(self.world_frame, self.sensor_frame)
 
         result = self._pipeline(cloud, key, world_from_sensor=sensor_pose)
-        result = jax.block_until_ready(result)
-        self.last_result = result
         self._cycle += 1
         self._frames = 0
         self.accumulator.clear()
 
-        seq = self._cycle
+        if self.async_pipeline:
+            prev, self._pending = self._pending, (result, self._cycle)
+            if prev is not None:
+                return self._publish(*prev)
+            return None
+        return self._publish(result, self._cycle)
+
+    def flush(self):
+        """Fetch and publish the pending async window, if any."""
+        if self._pending is not None:
+            prev, self._pending = self._pending, None
+            return self._publish(*prev)
+        return None
+
+    def _publish(self, result, seq):
+        """Fetch one window's results to host and publish the topic surface."""
+        t0 = time.perf_counter()
+        cfg = self.config
+        self.last_result = result
         grid = np.asarray(result.grid.data)
         self.pub_occupancy.publish(
             OccupancyGridMsg(
@@ -162,7 +190,7 @@ class ObstacleDetectionNode:
         self.last_cycle_seconds = time.perf_counter() - t0
         s = result.stats
         log.info(
-            "cycle %d: %.1f ms | in=%d cropped=%d voxels=%d inliers=%d "
+            "cycle %d publish: %.1f ms | in=%d cropped=%d voxels=%d inliers=%d "
             "nonplane=%d planes=%d clusters=%d",
             seq, 1e3 * self.last_cycle_seconds,
             int(s.accumulated_points), int(s.cropped_points),

@@ -46,8 +46,6 @@ class SyntheticKinect:
         self.points_per_frame = points_per_frame
         self.seq = 0
         # world -> sensor, applied on the host to emit sensor-frame scans
-        import jax.numpy as jnp
-
         inv = self.world_from_sensor.inverse()
         self._inv_q = np.asarray(inv.quat_xyzw)
         self._inv_t = np.asarray(inv.translation)

@@ -9,8 +9,6 @@ sensor, making regressions reproducible offline.
 
 from __future__ import annotations
 
-import io
-import os
 import struct
 from typing import Iterator
 
