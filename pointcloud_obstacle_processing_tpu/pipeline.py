@@ -171,6 +171,9 @@ def _post_voxel(
             voxel_cloud=voxel_cloud,
             outlier_filtered_cloud=outl.cloud,
             plane_cloud=Cloud(points=outl.cloud.points, valid=seg.plane_union),
+            # the reference publishes only the LAST extracted plane on
+            # indices_cloud (each loop iteration overwrites it, cpp:393)
+            last_plane_cloud=Cloud(points=outl.cloud.points, valid=seg.last_plane),
         )
 
     return PipelineResult(

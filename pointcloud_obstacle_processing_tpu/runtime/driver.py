@@ -184,7 +184,7 @@ class ObstacleDetectionNode:
             self.pub_voxel.publish(cloud_msg(result.voxel_cloud))
             self.pub_outliers.publish(cloud_msg(result.outlier_filtered_cloud))
             self.pub_planar.publish(cloud_msg(result.obstacle_cloud))
-            self.pub_indices.publish(cloud_msg(result.plane_cloud))
+            self.pub_indices.publish(cloud_msg(result.last_plane_cloud))
             self.pub_filtered.publish(cloud_msg(result.obstacle_cloud))
 
         self.last_cycle_seconds = time.perf_counter() - t0

@@ -196,4 +196,5 @@ class PipelineResult(struct.PyTreeNode):
     # optional per-stage debug clouds (the publish_point_clouds surface)
     voxel_cloud: Cloud | None = None
     outlier_filtered_cloud: Cloud | None = None
-    plane_cloud: Cloud | None = None
+    plane_cloud: Cloud | None = None  # union of all extracted plane inliers
+    last_plane_cloud: Cloud | None = None  # the reference's indices_cloud payload
