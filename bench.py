@@ -128,12 +128,20 @@ def main():
 
     def s_vox(c):
         r = jax.vmap(
-            lambda cc: voxel_downsample(cc, cfg.downsample_leaf_size, cfg.max_voxels, bounds)
+            lambda cc: voxel_downsample(
+                cc, cfg.downsample_leaf_size, cfg.max_voxels, bounds,
+                cfg.voxel_sum_precision,
+            )
         )(c)
         return jnp.sum(r.cloud.points)
 
     vox = jax.jit(
-        jax.vmap(lambda cc: voxel_downsample(cc, cfg.downsample_leaf_size, cfg.max_voxels, bounds))
+        jax.vmap(
+            lambda cc: voxel_downsample(
+                cc, cfg.downsample_leaf_size, cfg.max_voxels, bounds,
+                cfg.voxel_sum_precision,
+            )
+        )
     )(seeded.cloud)
 
     def s_out(c):

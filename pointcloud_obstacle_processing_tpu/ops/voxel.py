@@ -124,7 +124,8 @@ def _pack_spec(bounds, leaf_size: float):
 
 
 def voxel_partials(
-    cloud: Cloud, leaf_size: float, capacity: int, bounds=None
+    cloud: Cloud, leaf_size: float, capacity: int, bounds=None,
+    sum_precision: str = "exact",
 ) -> VoxelPartials:
     """Bin points into voxels and return per-voxel (key, sum, count).
 
@@ -170,7 +171,9 @@ def voxel_partials(
             corner = ijk.astype(jnp.float32) * jnp.float32(leaf_size)
             off = jnp.where(valid[:, None], pts - corner, 0.0)
             upd = jnp.concatenate([off, w[:, None]], axis=-1)
-            blocks, ha, hb = weighted_histogram_blocks(packed, upd, valid, K)
+            blocks, ha, hb = weighted_histogram_blocks(
+                packed, upd, valid, K, exact_f32=(sum_precision == "exact")
+            )
             bins = blocks.reshape(ha * hb, 4)
             # padded bins (>= K) have zero counts and are never occupied
             occ2d = blocks[:, :, 3] > 0.0
@@ -263,7 +266,10 @@ def finalize_voxels(partials: VoxelPartials) -> VoxelResult:
 
 
 def voxel_downsample(
-    cloud: Cloud, leaf_size: float, max_voxels: int, bounds=None
+    cloud: Cloud, leaf_size: float, max_voxels: int, bounds=None,
+    sum_precision: str = "exact",
 ) -> VoxelResult:
     """Downsample to per-voxel centroids.  See module docstring."""
-    return finalize_voxels(voxel_partials(cloud, leaf_size, max_voxels, bounds))
+    return finalize_voxels(
+        voxel_partials(cloud, leaf_size, max_voxels, bounds, sum_precision)
+    )

@@ -81,7 +81,8 @@ def process_scan(
             (config.x_max, config.y_max, config.z_max),
         )  # cropped points are in-box: enables the packed single-key sort
         vox = voxel_downsample(
-            cropped, config.downsample_leaf_size, config.max_voxels, bounds
+            cropped, config.downsample_leaf_size, config.max_voxels, bounds,
+            config.voxel_sum_precision,
         )
         voxel_cloud = vox.cloud
         n_voxels = vox.num_voxels
