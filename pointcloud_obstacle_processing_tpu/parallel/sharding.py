@@ -35,7 +35,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import PipelineConfig
 from ..ops.filters import crop_box_mask
-from ..ops.occupancy import grid_cell_index
 from ..ops.transforms import RigidTransform
 from ..ops.voxel import finalize_voxels, merge_voxel_partials, voxel_partials
 from ..pipeline import _post_voxel, process_scan
@@ -112,15 +111,15 @@ def process_scan_point_sharded(
     n_in = lax.psum(n_in_local, axis_name)
 
     # ---- stage 1, shard-local histogram + global psum ----------------------
+    from ..ops.mxu_histogram import histogram2d_mxu
+    from ..ops.occupancy import grid_cell_xy
+
     in_box = cloud_shard.valid & crop_box_mask(pts, config)
-    index = grid_cell_index(pts, config)
-    in_grid = in_box & (index < config.grid_size)
-    counts_local = jnp.zeros((config.grid_size,), jnp.int32).at[
-        jnp.where(in_grid, index, config.grid_size)
-    ].add(in_grid.astype(jnp.int32), mode="drop")
-    counts = lax.psum(counts_local, axis_name).reshape(
-        config.grid_height, config.grid_width
+    col, row = grid_cell_xy(pts, config)
+    counts_local = histogram2d_mxu(
+        row, col, in_box, config.grid_height, config.grid_width
     )
+    counts = lax.psum(counts_local, axis_name)
     row_averages = (jnp.sum(counts, axis=1) // config.grid_width).astype(jnp.int32)
     threshold = row_averages.astype(jnp.float32) * jnp.float32(1.0 - config.dev_percent)
     hole_grid = jnp.where(
@@ -134,10 +133,16 @@ def process_scan_point_sharded(
     # deduplicated global voxel cloud, replicated on every shard.
     from ..ops.voxel import VoxelPartials
 
+    bounds = (
+        (config.x_min, config.y_min, config.z_min),
+        (config.x_max, config.y_max, config.z_max),
+    )
     parts = voxel_partials(
         Cloud(points=pts, valid=in_box),
         config.downsample_leaf_size,
         config.max_voxels,
+        bounds,
+        config.voxel_sum_precision,
     )
     merged = merge_voxel_partials(
         VoxelPartials(
