@@ -1,14 +1,15 @@
 """Pallas TPU kernel: fused weighted point binning (EXPERIMENTAL — not wired
 into the pipeline).
 
-Status: on the current Mosaic toolchain this kernel measures ~97 ms for
-(N=131k, K=214k, C=4) — slower than the XLA one-hot-matmul path
-(ops/mxu_histogram.py, ~3.6 ms/scan) — and its dot accumulates below f32
-despite ``preferred_element_type=f32`` (integer counts come back inexact;
-identical error across layout/transposition/pow2-divisor variants, so the
-loss is inside the Mosaic dot lowering, not the index math).  The pipeline
-keeps the XLA paths; kept as the starting point for the VMEM-resident
-binning design described below.
+Status: numerically CORRECT (integer counts verified exact; Mosaic dots do
+accumulate in f32 with ``preferred_element_type``) but ~110 ms for
+(N=131k, K=214k, C=4) vs ~3.6 ms for the XLA one-hot-matmul path
+(ops/mxu_histogram.py).  Measured evidence: runtime is invariant to the
+number of dots per step (8 small vs 1 fused), to chunk width, to transposed
+layouts, pow2 divisors, and sublane alignment — and matches N*K*C ops at
+VPU rate almost exactly.  Conclusion: Mosaic lowers these one-hot dots to
+the VPU, not the MXU, on this toolchain.  The pipeline keeps the XLA paths;
+revisit when Mosaic dot lowering can be steered onto the MXU.
 
 The pipeline's two binning stages — the occupancy histogram
 (obstacle_detection.cpp:195-215) and VoxelGrid binning (cpp:282-285) — are
@@ -64,11 +65,20 @@ def _kernel(ids_ref, w_ref, out_ref, acc, *, a, b, n_terms):
     hi_ohT = hi[None, :] == iota_a  # bool [A, chunk]; oob id -> all-false col
     lo_oh = (lo[:, None] == iota_b).astype(jnp.bfloat16)  # [chunk, B]
 
+    # ONE dot per grid step: all (term, channel) weighted one-hots stacked
+    # along the sublane axis — per-dot fixed overhead in the Mosaic lowering
+    # dominates when issuing many small dots per step.
     c_total = w.shape[-1]
-    for c in range(c_total):
-        whiT = jnp.where(hi_ohT, w[:, c][None, :], 0.0).astype(jnp.bfloat16)
-        part = jnp.dot(whiT, lo_oh, preferred_element_type=jnp.float32)  # [A, B]
-        acc[c % (c_total // n_terms), :, :] += part
+    whiT_all = jnp.concatenate(
+        [
+            jnp.where(hi_ohT, w[:, c][None, :], 0.0).astype(jnp.bfloat16)
+            for c in range(c_total)
+        ],
+        axis=0,
+    )  # [c_total*A, chunk]
+    part = jnp.dot(whiT_all, lo_oh, preferred_element_type=jnp.float32)
+    part = part.reshape(n_terms, c_total // n_terms, a, b).sum(axis=0)
+    acc[...] += part
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _():
@@ -96,6 +106,7 @@ def binned_weighted_sum(
     while hi_size * b < k:
         b <<= 1
     a = -(-k // b)
+    a = -(-a // 8) * 8  # sublane-aligned hi width
     if n % chunk:
         raise ValueError(f"N={n} not divisible by chunk={chunk}")
 
