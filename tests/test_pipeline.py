@@ -150,6 +150,26 @@ def test_vmap_equivalence(scene):
         )
 
 
+def test_reference_leaf_dense_scatter_path():
+    """The shipped leaf (0.015) pushes the voxel lattice past the MXU-path
+    bin limit: exercises the dense-scatter binning branch inside the full
+    pipeline (the branch the 200-frame reference workload uses)."""
+    cfg = CFG.replace(
+        max_points=16384, max_voxels=16384, cluster_capacity=1024,
+        downsample_leaf_size=0.015,
+    )
+    scene = make_scene(
+        seed=4, spec=SceneSpec(n_ground=10000, n_rocks=2, points_per_rock=800, n_noise=50)
+    )
+    pts = scene.points[: cfg.max_points]
+    r = jit_pipeline(cfg)(Cloud.pad_to(pts, cfg.max_points), jax.random.PRNGKey(0))
+    # at leaf 0.015 nearly every point is its own voxel
+    want = len(oracle.voxel_downsample(oracle.crop_and_seed(pts, cfg)[0], 0.015))
+    assert int(r.stats.voxel_points) == min(want, cfg.max_voxels)
+    assert int(r.stats.num_planes) >= 1
+    assert int(r.clusters.num_clusters) >= 2
+
+
 def test_process_frames_accumulation():
     """Device-side frame accumulation == preconcatenated world cloud."""
     cfg = CFG.replace(max_points=4096, max_voxels=1024, cluster_capacity=512)
