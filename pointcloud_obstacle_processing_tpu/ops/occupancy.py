@@ -41,15 +41,35 @@ __all__ = ["grid_cell_xy", "grid_cell_index", "crop_and_seed", "mark_obstacles",
 def grid_cell_xy(points: jax.Array, config: PipelineConfig) -> tuple[jax.Array, jax.Array]:
     """World (x, y) -> (col, row) occupancy cells.
 
-    Exact closed form of get_occupancy_grid_x_y (obstacle_detection.cpp:
-    134-150) including its boundary behavior, evaluated in float32 as the
-    C++ does.
+    Bit-exact vectorization of get_occupancy_grid_x_y (obstacle_detection.
+    cpp:134-150).  The closed form ``ceil((v - lo)/b) - 1`` lands within one
+    cell of the C++ incremental search but can differ at exact float32 block
+    boundaries (division rounds differently than the loop's multiply-add
+    comparisons), so a few fix-up steps re-evaluate the loop's own f32
+    conditions around the candidate:
+
+      col: while (y_min + (c+1)*b < y) c++     (cpp:139-142)
+      row: while (x_max - (c+1)*b > x) c++     (cpp:144-147)
     """
     b = jnp.float32(config.block_size)
     y = points[..., 1]
     x = points[..., 0]
-    col = jnp.maximum(0, jnp.ceil((y - jnp.float32(config.y_min)) / b) - 1).astype(jnp.int32)
-    row = jnp.maximum(0, jnp.ceil((jnp.float32(config.x_max) - x) / b) - 1).astype(jnp.int32)
+    y_min = jnp.float32(config.y_min)
+    x_max = jnp.float32(config.x_max)
+
+    col = jnp.maximum(0, jnp.ceil((y - y_min) / b) - 1).astype(jnp.int32)
+    row = jnp.maximum(0, jnp.ceil((x_max - x) / b) - 1).astype(jnp.int32)
+
+    for _ in range(2):  # advance while the loop condition still holds
+        cf = col.astype(jnp.float32)
+        col = jnp.where(y_min + (cf + 1.0) * b < y, col + 1, col)
+        rf = row.astype(jnp.float32)
+        row = jnp.where(x_max - (rf + 1.0) * b > x, row + 1, row)
+    for _ in range(2):  # retreat while the previous step's condition fails
+        cf = col.astype(jnp.float32)
+        col = jnp.where((col > 0) & ~(y_min + cf * b < y), col - 1, col)
+        rf = row.astype(jnp.float32)
+        row = jnp.where((row > 0) & ~(x_max - rf * b > x), row - 1, row)
     return col, row
 
 

@@ -44,11 +44,11 @@ _INF = jnp.float32(jnp.inf)
 
 def _grid_cell_colrow(x, y, config: PipelineConfig):
     """get_occupancy_grid_x_y for scalar-ish arrays (cpp:134-150):
-    col from world y, row from world x (the call-site argument swap)."""
-    b = jnp.float32(config.block_size)
-    col = jnp.maximum(0, jnp.ceil((y - jnp.float32(config.y_min)) / b) - 1).astype(jnp.int32)
-    row = jnp.maximum(0, jnp.ceil((jnp.float32(config.x_max) - x) / b) - 1).astype(jnp.int32)
-    return col, row
+    col from world y, row from world x (the call-site argument swap).
+    Shares the bit-exact boundary fix-up with ops.occupancy."""
+    from .occupancy import grid_cell_xy
+
+    return grid_cell_xy(jnp.stack([x, y, jnp.zeros_like(x)], axis=-1), config)
 
 
 def cast_shadows(
