@@ -82,6 +82,7 @@ class ObstacleDetectionNode:
         )
         self.last_result = None
         self.last_cycle_seconds = 0.0
+        self.metrics: list[dict] = []  # per-cycle structured stats history
 
         # topic surface (cpp:1004-1011)
         adv = self.bus.advertise
@@ -189,6 +190,22 @@ class ObstacleDetectionNode:
 
         self.last_cycle_seconds = time.perf_counter() - t0
         s = result.stats
+        # structured per-cycle metrics (the reference's stage-size/timing
+        # logs, cpp:706, :735, :747, :872-925, as data instead of text)
+        self.metrics.append(
+            {
+                "cycle": int(seq),
+                "publish_seconds": self.last_cycle_seconds,
+                **{
+                    k: int(getattr(s, k))
+                    for k in (
+                        "accumulated_points", "cropped_points", "voxel_points",
+                        "inlier_points", "nonplane_points", "num_planes",
+                        "num_clusters",
+                    )
+                },
+            }
+        )
         log.info(
             "cycle %d publish: %.1f ms | in=%d cropped=%d voxels=%d inliers=%d "
             "nonplane=%d planes=%d clusters=%d",

@@ -151,3 +151,8 @@ def test_launch_end_to_end():
     assert node.pub_voxel.n_published == 2
     # accumulator reset between windows
     assert node.accumulator.count() == 0
+    # structured per-cycle metrics recorded
+    assert len(node.metrics) == 2
+    assert node.metrics[0]["cycle"] == 1
+    assert node.metrics[0]["num_clusters"] >= 1
+    assert node.metrics[0]["publish_seconds"] > 0
