@@ -51,6 +51,25 @@ def test_outlier_respects_input_mask(rng):
     assert np.mean(got[:100] != want) < 0.02
 
 
+def test_approx_backend_agrees_with_exact(rng):
+    """The default approx kNN backend (lax.approx_min_k, recall 0.98) must
+    track the exact backend's keep-mask to well under the statistical gate's
+    own noise (guards the TPU-speed default against regressions)."""
+    pts = rng.uniform(0, 4.5, size=(4096, 3)).astype(np.float32)
+    pts[4000:] += 10.0  # a block of far outliers
+    cloud = Cloud.pad_to(pts, 4096)
+    exact = remove_statistical_outliers(cloud, 15, 1.0, backend="exact")
+    approx = remove_statistical_outliers(cloud, 15, 1.0, backend="approx")
+    m_e = np.asarray(exact.cloud.valid)
+    m_a = np.asarray(approx.cloud.valid)
+    assert np.mean(m_e != m_a) < 0.005
+    # the far block must be removed by both
+    assert not m_e[4000:].any() and not m_a[4000:].any()
+    np.testing.assert_allclose(
+        float(approx.threshold), float(exact.threshold), rtol=5e-3
+    )
+
+
 def test_outlier_threshold_value(rng):
     pts = rng.normal(0, 0.5, size=(512, 3)).astype(np.float32)
     cloud = Cloud.pad_to(pts, 512)
