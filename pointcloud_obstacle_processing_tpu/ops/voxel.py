@@ -7,20 +7,26 @@ The reference delegates to ``pcl::VoxelGrid`` with a cubic leaf
 ``ijk = floor(coord / leaf)`` on *absolute* coordinates, and the output is
 one point per occupied voxel at the **centroid** (mean) of its members.
 
-TPU-native design — no hash tables, no host round-trips:
+TPU-native design — no hash tables, no host round-trips.  Three binning
+paths, chosen statically by crop-box/bin-count (measured rationale in
+docs/PERFORMANCE.md; XLA TPU sorts cost ~27 ms at 131k and scatters
+serialize at ~20 cycles/update):
 
-1. per-point integer voxel coords ``(ix, iy, iz)``; invalid points get
-   INT32_MAX sentinels so they sort to the tail,
-2. one multi-key ``lax.sort`` over the padded buffer (keys: ix, iy, iz;
-   payload: point coords + validity),
-3. voxel boundaries ("heads") where any key changes; compact segment ids by
-   cumulative sum of heads,
-4. per-voxel sums via scatter-add on the compact ids straight into the
-   fixed-capacity output (sorted ids = cheap scatter; and unlike prefix-sum
-   differencing, no cancellation error),
-5. centroids = sums / counts, valid for the first ``min(num_voxels,
-   max_voxels)`` slots, in ascending (ix, iy, iz) order — deterministic,
-   the same spirit as PCL's packed-leaf-index ordering.
+1. **MXU dense-bin** (bounds given, K <= 2^19 bins): per-bin
+   [offset_x, offset_y, offset_z, count] accumulated as one-hot
+   outer-product matmuls (ops/mxu_histogram.py), offsets voxel-corner
+   relative for bf16-split precision; occupied bins compacted with the
+   block-structured stream compaction — no sort, no big scatter.
+2. **Dense scatter** (bounds given, K <= 2^23): one fused [K, 4]
+   scatter-add — N-bound, for very fine lattices (the reference's 0.015
+   leaf over a 200-frame window).
+3. **3-key sort fallback** (no bounds / astronomically fine grids):
+   multi-key ``lax.sort`` with INT32_MAX sentinels, head detection at key
+   changes, segment scatter-add on compact ids.
+
+All paths emit centroids = sums / counts for the first ``min(num_voxels,
+max_voxels)`` occupied voxels in ascending (ix, iy, iz) order —
+deterministic, the same spirit as PCL's packed-leaf-index ordering.
 
 The intermediate (key, sum, count) form is exposed as ``voxel_partials`` /
 ``merge_voxel_partials`` so point-sharded multi-chip execution can voxelize
@@ -145,10 +151,9 @@ def voxel_partials(
     ijk = jnp.floor(pts / jnp.float32(leaf_size)).astype(jnp.int32)
     spec = _pack_spec(bounds, leaf_size)
     if spec is not None and spec[1][0] * spec[1][1] * spec[1][2] <= (1 << 23):
-        # Dense-bin path: scatter-add points straight into the crop box's
-        # full voxel grid, then compact occupied bins with cumsum +
-        # searchsorted.  No sort at all — XLA TPU sorts cost ~25ms for a
-        # 131k buffer while a scatter-add is ~1ms.
+        # Dense-bin paths: bin into the crop box's full voxel lattice
+        # (MXU matmuls or one fused scatter-add), then block-compact the
+        # occupied bins.  No sort at all.
         imin, dims = spec
         K = dims[0] * dims[1] * dims[2]
         ix = jnp.clip(ijk[:, 0] - imin[0], 0, dims[0] - 1)
