@@ -8,14 +8,17 @@ PCL's two-pass algorithm (SURVEY.md §2.2):
 2. global sample mean mu and stddev sigma (n-1 estimator) of those mean
    distances; keep points with ``mean_dist <= mu + stdDevThres * sigma``.
 
-TPU-native design: no KD-tree.  The exact k-nearest distances are computed
-by **tiled brute force on the MXU** — for a row tile Q of queries,
-``D2 = |q|^2 + |p|^2 - 2 Q P^T`` is one [T, N] matmul, and ``lax.top_k``
-extracts the k smallest.  At the post-voxel cloud sizes this pipeline runs
-(N <= max_voxels = 16k), N^2 distances are ~1.6e9 f32 FLOPs — microseconds
-on the MXU and *exact*, versus PCL's pointer-chasing KD-tree.  The cloud is
-centered first: the expansion's cross-term cancellation error scales with
-coordinate magnitude, and centering keeps |p|^2 small.
+TPU-native design: no KD-tree.  The k-nearest distances are computed by
+**tiled brute force on the MXU** — for a row tile Q of queries,
+``D2 = |q|^2 + |p|^2 - 2 Q P^T`` is one [T, N] matmul at HIGHEST precision,
+and the per-row k-smallest reduction is either ``lax.approx_min_k`` (the
+TPU-native PartialReduce; default, 28x faster than sort-based top-k at
+recall 0.98) or an exact hierarchical two-level ``lax.top_k``.  At the
+post-voxel cloud sizes this pipeline runs (N <= max_voxels = 16k), the N^2
+distances are milliseconds versus PCL's pointer-chasing KD-tree over the
+same cloud.  The cloud is centered first: the expansion's cross-term
+cancellation error scales with coordinate magnitude, and centering keeps
+|p|^2 small.
 
 The [T, N] tiles are produced by a ``lax.map`` over row tiles so the full
 [N, N] distance matrix never materializes in HBM.
