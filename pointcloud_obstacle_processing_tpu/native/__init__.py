@@ -91,6 +91,30 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def _check_cloud2_layout(
+    data, n_points: int, point_step: int, off_x: int, off_y: int, off_z: int
+) -> int:
+    """Validate a strided-record layout before it reaches native code.
+
+    The C++ reads ``data + i*point_step + off`` with no bounds check, so a
+    truncated or corrupt recorded scan must be rejected/clamped HERE.
+    Returns the (possibly clamped-down) safe n_points; raises on layouts
+    that can never be safe (bad offsets / step).
+    """
+    if point_step <= 0:
+        raise ValueError(f"point_step must be positive, got {point_step}")
+    for name, off in (("off_x", off_x), ("off_y", off_y), ("off_z", off_z)):
+        if off < 0 or off + 4 > point_step:
+            raise ValueError(
+                f"{name}={off} does not fit a float32 in point_step={point_step}"
+            )
+    if n_points < 0:
+        raise ValueError(f"n_points must be >= 0, got {n_points}")
+    # clamp (not raise): a truncated stream tail is recoverable — decode the
+    # complete records and drop the partial one
+    return min(n_points, len(data) // point_step)
+
+
 def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
@@ -160,6 +184,7 @@ class ScanAccumulator:
         rotation: np.ndarray, translation: np.ndarray, n_threads: int = 0,
     ) -> int:
         """Append a PointCloud2-style binary frame (strided float32 xyz)."""
+        n_points = _check_cloud2_layout(data, n_points, point_step, off_x, off_y, off_z)
         R = np.ascontiguousarray(rotation, np.float32).reshape(9)
         t = np.ascontiguousarray(translation, np.float32).reshape(3)
         if self._lib is not None:
@@ -170,7 +195,9 @@ class ScanAccumulator:
                     off_x, off_y, off_z, _fptr(R), _fptr(t), n_threads,
                 )
             )
-        rec = np.frombuffer(data, np.uint8).reshape(n_points, point_step)
+        rec = np.frombuffer(data, np.uint8)[: n_points * point_step].reshape(
+            n_points, point_step
+        )
         xyz = np.stack(
             [rec[:, o : o + 4].copy().view(np.float32)[:, 0] for o in (off_x, off_y, off_z)],
             axis=1,
@@ -199,6 +226,7 @@ class ScanAccumulator:
 def decode_cloud2(data: bytes, n_points: int, point_step: int,
                   off_x: int, off_y: int, off_z: int) -> np.ndarray:
     """Decode a strided binary scan into packed finite [n, 3] float32."""
+    n_points = _check_cloud2_layout(data, n_points, point_step, off_x, off_y, off_z)
     lib = _load()
     if lib is not None:
         out = np.empty((n_points, 3), np.float32)

@@ -44,6 +44,7 @@ def _neighbor_min_sweep(
 ) -> jax.Array:
     """One ``label[i] <- min over {i} ∪ neighbors(i)`` pass, tiled on the MXU."""
     n = pts.shape[0]
+    n_q = -(-n // row_tile) * row_tile  # query rows padded to a tile multiple
     p_sq = jnp.sum(pts * pts, axis=-1)
     labels_col = jnp.where(valid, labels, jnp.int32(n))  # invalid cols never win
 
@@ -59,17 +60,18 @@ def _neighbor_min_sweep(
         cand = jnp.where(adj, labels_col[None, :], jnp.int32(n))
         return jnp.minimum(jnp.min(cand, axis=1), q_lab)
 
-    tiles = n // row_tile
+    tiles = n_q // row_tile
+    pad = n_q - n
     out = lax.map(
         tile_fn,
         (
-            pts.reshape(tiles, row_tile, 3),
-            p_sq.reshape(tiles, row_tile),
-            labels.reshape(tiles, row_tile),
-            valid.reshape(tiles, row_tile),
+            jnp.pad(pts, ((0, pad), (0, 0))).reshape(tiles, row_tile, 3),
+            jnp.pad(p_sq, (0, pad)).reshape(tiles, row_tile),
+            jnp.pad(labels, (0, pad), constant_values=n).reshape(tiles, row_tile),
+            jnp.pad(valid, (0, pad)).reshape(tiles, row_tile),  # False pads
         ),
     )
-    return out.reshape(n)
+    return out.reshape(n_q)[:n]
 
 
 class ClusterOutput(NamedTuple):
@@ -92,9 +94,7 @@ def euclidean_cluster(
     pts = cloud.points
     valid = cloud.valid
     n = cloud.capacity
-    row_tile = min(row_tile, n)
-    if n % row_tile:
-        row_tile = n
+    row_tile = min(row_tile, n)  # odd capacities are query-padded in the sweep
 
     # Center + park invalid at the centroid (their rows/cols are masked out).
     denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)

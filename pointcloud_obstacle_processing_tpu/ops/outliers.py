@@ -57,8 +57,9 @@ def knn_mean_distances(
     n = cloud.capacity
     valid = cloud.valid
     row_tile = min(row_tile, n)
-    if n % row_tile:
-        row_tile = n  # fall back to a single tile for odd capacities
+    # Pad the QUERY side up to a tile multiple (columns stay at n): an odd
+    # capacity must never silently materialize the full [N, N] matrix.
+    n_q = -(-n // row_tile) * row_tile
 
     # Center to tame |p|^2-vs-cross-term cancellation in the expansion.
     denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
@@ -112,16 +113,22 @@ def knn_mean_distances(
         cnt = jnp.sum(real.astype(jnp.float32), axis=-1)
         return s / jnp.maximum(cnt, 1.0)
 
-    tiles = n // row_tile
+    tiles = n_q // row_tile
+    pad = n_q - n
+    q_p = jnp.pad(p, ((0, pad), (0, 0)))
+    q_sq = jnp.pad(p_sq, (0, pad))
+    # padded query rows get ids >= n: they never match a column and their
+    # outputs are sliced off below
+    q_ids = jnp.pad(row_ids, (0, pad), constant_values=n)
     out = lax.map(
         tile_fn,
         (
-            p.reshape(tiles, row_tile, 3),
-            p_sq.reshape(tiles, row_tile),
-            row_ids.reshape(tiles, row_tile),
+            q_p.reshape(tiles, row_tile, 3),
+            q_sq.reshape(tiles, row_tile),
+            q_ids.reshape(tiles, row_tile),
         ),
     )
-    return jnp.where(valid, out.reshape(n), 0.0)
+    return jnp.where(valid, out.reshape(n_q)[:n], 0.0)
 
 
 class OutlierResult(NamedTuple):

@@ -29,6 +29,8 @@ materialized per-step write-index scatter costs ~10ms on TPU; this runs in
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -37,9 +39,14 @@ from ..config import PipelineConfig
 from ..types import Cloud, ClusterSet
 from .transforms import RigidTransform
 
-__all__ = ["cast_shadows"]
+__all__ = ["cast_shadows", "ShadowResult"]
 
 _INF = jnp.float32(jnp.inf)
+
+
+class ShadowResult(NamedTuple):
+    grid: jax.Array  # [H, W] int8 with shadow cells painted
+    overflow: jax.Array  # [] bool: a cluster needed more than shadow_max_lines
 
 
 def _grid_cell_colrow(x, y, config: PipelineConfig):
@@ -57,8 +64,16 @@ def cast_shadows(
     clusters: ClusterSet,
     world_from_sensor: RigidTransform,
     config: PipelineConfig,
-) -> jax.Array:
-    """Paint every cluster's shadow onto ``grid`` (int8 [H, W])."""
+) -> ShadowResult:
+    """Paint every cluster's shadow onto ``grid`` (int8 [H, W]).
+
+    ``overflow`` flags any cluster whose sweep needed more than the static
+    ``shadow_max_lines`` bound (a cluster wider than ``(L-3)*block_size`` in
+    the sensor frame) — the extra lines are dropped relative to the
+    reference's unbounded loop (cpp:653), so callers can observe the
+    truncation (StageStats.shadow_overflow) instead of silently losing
+    shadow coverage.
+    """
     H, W = config.grid_height, config.grid_width
     M = clusters.sizes.shape[0]
     L = config.shadow_max_lines
@@ -106,11 +121,13 @@ def cast_shadows(
             s_row,
             e_col + shift,
             e_row,
-            jnp.minimum(n_lines, L),
+            n_lines,
             active,
         )
 
-    s_col, s_row, e_col, e_row, n_lines, active = jax.vmap(per_cluster)(slot_ids)
+    s_col, s_row, e_col, e_row, n_lines_raw, active = jax.vmap(per_cluster)(slot_ids)
+    overflow = jnp.any(active & (n_lines_raw > L))
+    n_lines = jnp.minimum(n_lines_raw, L)
 
     # ---- line sweep: line i shifts both columns by -i (cpp:653-669) --------
     line_ids = lax.broadcasted_iota(jnp.int32, (M, L), 1)
@@ -170,4 +187,5 @@ def cast_shadows(
     )
 
     hit = jnp.any(on & jnp.where(stp, steep_hit, shallow_hit), axis=0)
-    return jnp.where(hit, jnp.int8(config.grid_opacity), jnp.asarray(grid))
+    out = jnp.where(hit, jnp.int8(config.grid_opacity), jnp.asarray(grid))
+    return ShadowResult(grid=out, overflow=overflow)

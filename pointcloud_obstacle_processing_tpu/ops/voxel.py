@@ -111,6 +111,53 @@ def _reduce_sorted_keys(
     )
 
 
+def _dense_bins_to_partials(
+    bins, occ2d, dims, imin, capacity: int, leaf_size: float, corner_relative: bool
+) -> VoxelPartials:
+    """Dense [K, 4] (sum_xyz, count) bins -> compacted VoxelPartials.
+
+    ``occ2d`` is the [A, B] occupancy block view of the same bins; output
+    slots are the first ``capacity`` occupied bins in ascending packed order
+    (= ascending (ix, iy, iz)).
+    """
+    from .mxu_histogram import compact_occupied_blocks
+
+    # block-structured stream compaction of the occupied bins: several
+    # ms cheaper than a flat K-wide cumsum + searchsorted on TPU
+    loc, num = compact_occupied_blocks(occ2d, capacity)
+    target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1
+    out_valid = target - 1 < jnp.minimum(num, capacity)
+    bin_rel_sums = bins[:, :3]
+    bin_counts = bins[:, 3]
+
+    # unpack bin index -> absolute voxel coords
+    lx = loc // (dims[1] * dims[2]) + imin[0]
+    lrem = loc % (dims[1] * dims[2])
+    ly = lrem // dims[2] + imin[1]
+    lz = lrem % dims[2] + imin[2]
+    keys = jnp.where(
+        out_valid[:, None],
+        jnp.stack([lx, ly, lz], axis=-1),
+        _I32_MAX,
+    )
+    slot_counts = bin_counts[loc]
+    slot_sums = bin_rel_sums[loc]
+    if corner_relative:
+        # restore absolute sums: sum(p) = corner*count + sum(p - corner)
+        slot_corner = (
+            jnp.stack([lx, ly, lz], axis=-1).astype(jnp.float32)
+            * jnp.float32(leaf_size)
+        )
+        slot_sums = slot_sums + slot_corner * slot_counts[:, None]
+    return VoxelPartials(
+        keys=keys,
+        sums=jnp.where(out_valid[:, None], slot_sums, 0.0),
+        counts=jnp.where(out_valid, slot_counts, 0.0),
+        num_voxels=num,
+        overflow=num > capacity,
+    )
+
+
 def _pack_spec(bounds, leaf_size: float):
     """Static packing of (ix, iy, iz) into one int32, if the crop-box voxel
     ranges fit.  Returns (imin, dims) as python ints or None."""
@@ -193,39 +240,8 @@ def voxel_partials(
             occ2d = (bins[:, 3] > 0.0).reshape(kp // 128, 128)
             corner_relative = False
 
-        # block-structured stream compaction of the occupied bins: several
-        # ms cheaper than a flat K-wide cumsum + searchsorted on TPU
-        loc, num = compact_occupied_blocks(occ2d, capacity)
-        target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1
-        out_valid = target - 1 < jnp.minimum(num, capacity)
-        bin_rel_sums = bins[:, :3]
-        bin_counts = bins[:, 3]
-
-        # unpack bin index -> absolute voxel coords
-        lx = loc // (dims[1] * dims[2]) + imin[0]
-        lrem = loc % (dims[1] * dims[2])
-        ly = lrem // dims[2] + imin[1]
-        lz = lrem % dims[2] + imin[2]
-        keys = jnp.where(
-            out_valid[:, None],
-            jnp.stack([lx, ly, lz], axis=-1),
-            _I32_MAX,
-        )
-        slot_counts = bin_counts[loc]
-        slot_sums = bin_rel_sums[loc]
-        if corner_relative:
-            # restore absolute sums: sum(p) = corner*count + sum(p - corner)
-            slot_corner = (
-                jnp.stack([lx, ly, lz], axis=-1).astype(jnp.float32)
-                * jnp.float32(leaf_size)
-            )
-            slot_sums = slot_sums + slot_corner * slot_counts[:, None]
-        return VoxelPartials(
-            keys=keys,
-            sums=jnp.where(out_valid[:, None], slot_sums, 0.0),
-            counts=jnp.where(out_valid, slot_counts, 0.0),
-            num_voxels=num,
-            overflow=num > capacity,
+        return _dense_bins_to_partials(
+            bins, occ2d, dims, imin, capacity, leaf_size, corner_relative
         )
 
     kx = jnp.where(valid, ijk[:, 0], _I32_MAX)
@@ -240,8 +256,43 @@ def voxel_partials(
     return _reduce_sorted_keys(kx, ky, kz, sorted_pts, sv, capacity)
 
 
-def merge_voxel_partials(partials: VoxelPartials, capacity: int) -> VoxelPartials:
-    """Merge concatenated partial tables (e.g. all_gather'ed shards)."""
+def merge_voxel_partials(
+    partials: VoxelPartials, capacity: int, bounds=None, leaf_size: float | None = None,
+) -> VoxelPartials:
+    """Merge concatenated partial tables (e.g. all_gather'ed shards).
+
+    With ``bounds`` + ``leaf_size`` (the same crop box the shards binned
+    against) the merge is **sort-free**: the bounded (ix, iy, iz) keys pack
+    into one int32 and same-key rows are summed by a dense [K, 4]
+    scatter-add (exact f32) followed by the block stream compaction — the
+    path the single-chip pipeline already uses.  This replaces the 3-key
+    ``lax.sort`` over the gathered tables (a ~27 ms-class op on TPU for
+    131k rows; the scatter is ~20 cycles/row ≈ 3 ms at 8 shards x 16k rows).
+    Without bounds, the sort fallback handles unbounded keys.
+    """
+    spec = _pack_spec(bounds, leaf_size) if leaf_size is not None else None
+    if spec is not None and spec[1][0] * spec[1][1] * spec[1][2] <= (1 << 23):
+        imin, dims = spec
+        K = dims[0] * dims[1] * dims[2]
+        real = partials.counts > 0.0
+        kx = jnp.clip(partials.keys[:, 0] - imin[0], 0, dims[0] - 1)
+        ky = jnp.clip(partials.keys[:, 1] - imin[1], 0, dims[1] - 1)
+        kz = jnp.clip(partials.keys[:, 2] - imin[2], 0, dims[2] - 1)
+        packed = jnp.where(real, (kx * dims[1] + ky) * dims[2] + kz, K)
+        upd = jnp.concatenate(
+            [
+                jnp.where(real[:, None], partials.sums, 0.0),
+                jnp.where(real, partials.counts, 0.0)[:, None],
+            ],
+            axis=-1,
+        )
+        kp = -(-K // 128) * 128
+        bins = jnp.zeros((kp, 4), jnp.float32).at[packed].add(upd, mode="drop")
+        occ2d = (bins[:, 3] > 0.0).reshape(kp // 128, 128)
+        return _dense_bins_to_partials(
+            bins, occ2d, dims, imin, capacity, leaf_size, corner_relative=False
+        )
+
     kx, ky, kz, sx, sy, sz, cnt = lax.sort(
         (
             partials.keys[:, 0],

@@ -153,6 +153,10 @@ def process_scan_point_sharded(
             overflow=parts.overflow,  # unused by merge
         ),
         config.max_voxels,
+        # bounded keys => sort-free dense-bin merge (no lax.sort on the
+        # multi-chip path; see merge_voxel_partials docstring)
+        bounds=bounds,
+        leaf_size=config.downsample_leaf_size,
     )
     vox = finalize_voxels(merged)
 

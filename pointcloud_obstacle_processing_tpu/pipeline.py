@@ -143,10 +143,10 @@ def _post_voxel(
 
     # 6. shadows over the hole grid, 7. obstacle marking (reference order:
     #    holes first, shadows may overwrite, obstacles overwrite last)
-    grid_data = cast_shadows(
+    shadows = cast_shadows(
         hole_grid, comp.cloud, clus.clusters, world_from_sensor, config
     )
-    grid_data = mark_obstacles(grid_data, seg.nonplane_cloud, config)
+    grid_data = mark_obstacles(shadows.grid, seg.nonplane_cloud, config)
 
     grid = OccupancyGrid(
         data=grid_data,
@@ -164,6 +164,7 @@ def _post_voxel(
         num_planes=seg.planes.num_planes,
         num_clusters=clus.clusters.num_clusters,
         cluster_overflow=comp.overflow,
+        shadow_overflow=shadows.overflow,
     )
 
     debug = {}
@@ -175,6 +176,9 @@ def _post_voxel(
             # the reference publishes only the LAST extracted plane on
             # indices_cloud (each loop iteration overwrites it, cpp:393)
             last_plane_cloud=Cloud(points=outl.cloud.points, valid=seg.last_plane),
+            # uncompacted non-plane cloud: the reference's planar_cloud /
+            # cloud_f payload — never truncated to cluster_capacity
+            nonplane_cloud=seg.nonplane_cloud,
         )
 
     return PipelineResult(

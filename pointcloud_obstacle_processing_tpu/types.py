@@ -173,6 +173,7 @@ class StageStats(struct.PyTreeNode):
     num_planes: jax.Array  # planes extracted
     num_clusters: jax.Array  # clusters passing the size gate
     cluster_overflow: jax.Array  # bool: non-plane pts > cluster_capacity
+    shadow_overflow: jax.Array  # bool: a cluster needed > shadow_max_lines
 
 
 class PipelineResult(struct.PyTreeNode):
@@ -198,3 +199,7 @@ class PipelineResult(struct.PyTreeNode):
     outlier_filtered_cloud: Cloud | None = None
     plane_cloud: Cloud | None = None  # union of all extracted plane inliers
     last_plane_cloud: Cloud | None = None  # the reference's indices_cloud payload
+    # full (uncompacted) non-plane cloud — the reference's planar_cloud/cloud_f
+    # payload (cpp:401-426): unlike obstacle_cloud it is never truncated to
+    # cluster_capacity, so debug topics see every surviving point.
+    nonplane_cloud: Cloud | None = None

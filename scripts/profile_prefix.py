@@ -68,7 +68,7 @@ def stage(c, k, upto):
     if upto == 6:
         return clus.clusters.point_cluster
     cents = cluster_centroids(comp.cloud, clus.clusters)
-    g = cast_shadows(seed.hole_grid, comp.cloud, clus.clusters, tfid, cfg)
+    g = cast_shadows(seed.hole_grid, comp.cloud, clus.clusters, tfid, cfg).grid
     g = mark_obstacles(g, seg.nonplane_cloud, cfg)
     return g, cents.points.xyzr
 

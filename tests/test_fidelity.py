@@ -28,6 +28,10 @@ CFG = REFERENCE_YAML_CONFIG.replace(
     max_clusters=16,
     downsample_leaf_size=0.06,
     knn_backend="exact",  # bit-level PCL kNN semantics for the golden run
+    # distinguishable shadow value (params.yaml ships 0 == free): makes every
+    # final grid value attributable to exactly one writer — hole(100),
+    # shadow(50), obstacle(100) — so the hole-fidelity check below is exact
+    grid_opacity=50,
 )
 
 
@@ -87,14 +91,31 @@ def test_full_pipeline_fidelity(scene):
         assert abs(got_rows[j, 3] - row[3]) < 0.1
 
     # ---- grid-level agreement -------------------------------------------
+    # Write order is holes(100) -> shadows(grid_opacity=50) -> obstacles(100),
+    # so with a distinct grid_opacity every cell value has one explanation:
+    #   100 <=> obstacle cell, or oracle hole not overwritten by a shadow
+    #    50 <=> shadow cell not overwritten by an obstacle
+    # This check FAILS if hole detection regresses (a hole cell would read 0).
     grid = np.asarray(result.grid.data)
-    # hole cells identical (stage 1 is exactly reproduced)
-    got_holes_only = jit_pipeline(CFG)(
-        Cloud.pad_to(pts, CFG.max_points), jax.random.PRNGKey(3)
-    )
+    flat = grid.reshape(-1)
+    hole_flat = holes.reshape(-1) == 100
+
+    nonp_dev = np.asarray(result.nonplane_cloud.points)[
+        np.asarray(result.nonplane_cloud.valid)
+    ]
+    obst_cells = np.zeros(flat.shape, bool)
+    for idx in oracle.grid_cell_index(nonp_dev, CFG):
+        if 0 <= idx < CFG.grid_size:
+            obst_cells[int(idx)] = True
+
+    # every device obstacle write landed
+    assert (flat[obst_cells] == 100).all()
+    # away from obstacle cells: 100 iff oracle-hole and not shadow-overwritten
+    non_obst = ~obst_cells
     np.testing.assert_array_equal(
-        np.asarray(got_holes_only.grid.data == 100) | (grid != -1), np.ones_like(grid, bool)
+        flat[non_obst] == 100, hole_flat[non_obst] & (flat[non_obst] != 50)
     )
+    assert hole_flat.sum() > 0  # the scene must actually exercise holes
     # every oracle obstacle cell is occupied in the device grid
     occ_cells = set()
     for idx in oracle.grid_cell_index(nonplane, CFG):

