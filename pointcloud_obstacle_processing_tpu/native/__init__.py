@@ -83,6 +83,21 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
+        lib.decode_cloud2_rows.restype = ctypes.c_int64
+        lib.decode_cloud2_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.accumulator_append_cloud2_rows.restype = ctypes.c_int64
+        lib.accumulator_append_cloud2_rows.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -113,6 +128,45 @@ def _check_cloud2_layout(
     # clamp (not raise): a truncated stream tail is recoverable — decode the
     # complete records and drop the partial one
     return min(n_points, len(data) // point_step)
+
+
+def _check_cloud2_rows_layout(
+    data, height: int, width: int, row_step: int, point_step: int,
+    off_x: int, off_y: int, off_z: int,
+) -> None:
+    """Organized-layout validation (the native code also bounds-checks every
+    record read against the buffer length — this gives clear errors)."""
+    if point_step <= 0:
+        raise ValueError(f"point_step must be positive, got {point_step}")
+    if height < 0 or width < 0:
+        raise ValueError(f"height/width must be >= 0, got {height}x{width}")
+    if row_step < width * point_step:
+        raise ValueError(
+            f"row_step={row_step} < width*point_step={width * point_step}"
+        )
+    for name, off in (("off_x", off_x), ("off_y", off_y), ("off_z", off_z)):
+        if off < 0 or off + 4 > point_step:
+            raise ValueError(
+                f"{name}={off} does not fit a float32 in point_step={point_step}"
+            )
+
+
+def _decode_rows_numpy(
+    data, height, width, row_step, point_step, off_x, off_y, off_z
+) -> np.ndarray:
+    """NumPy fallback for the organized decode: honors row padding and
+    truncated tails exactly like the native path."""
+    buf = np.frombuffer(data, np.uint8)
+    r = np.repeat(np.arange(height, dtype=np.int64), width)
+    c = np.tile(np.arange(width, dtype=np.int64), height)
+    rec = r * row_step + c * point_step
+    rec = rec[rec + point_step <= len(buf)]
+    cols = []
+    for off in (off_x, off_y, off_z):
+        b = buf[rec[:, None] + off + np.arange(4)]
+        cols.append(b.copy().view(np.float32)[:, 0])
+    xyz = np.stack(cols, axis=1)
+    return xyz[np.all(np.isfinite(xyz), axis=1)]
 
 
 def _fptr(a: np.ndarray):
@@ -178,6 +232,34 @@ class ScanAccumulator:
         self._n += take
         return take
 
+    def append_cloud2_organized(
+        self, data: bytes, height: int, width: int, row_step: int,
+        point_step: int, off_x: int, off_y: int, off_z: int,
+        rotation: np.ndarray, translation: np.ndarray, n_threads: int = 0,
+    ) -> int:
+        """Append a full sensor_msgs/PointCloud2 layout: ``height`` rows of
+        ``width`` records, rows ``row_step`` bytes apart (row padding
+        allowed), float32 xyz at the given in-record offsets.  The
+        reference input is an organized 960x540 qhd cloud
+        (obstacle_detection.cpp:80)."""
+        _check_cloud2_rows_layout(data, height, width, row_step, point_step,
+                                  off_x, off_y, off_z)
+        R = np.ascontiguousarray(rotation, np.float32).reshape(9)
+        t = np.ascontiguousarray(translation, np.float32).reshape(3)
+        if self._lib is not None:
+            buf = np.frombuffer(data, np.uint8)
+            return int(
+                self._lib.accumulator_append_cloud2_rows(
+                    self._h, _u8ptr(buf), len(data), height, width, row_step,
+                    point_step, off_x, off_y, off_z, _fptr(R), _fptr(t),
+                    n_threads,
+                )
+            )
+        xyz = _decode_rows_numpy(
+            data, height, width, row_step, point_step, off_x, off_y, off_z
+        )
+        return self.append_xyz(xyz, rotation, translation)
+
     def append_cloud2(
         self, data: bytes, n_points: int, point_step: int,
         off_x: int, off_y: int, off_z: int,
@@ -221,6 +303,31 @@ class ScanAccumulator:
                 lib.accumulator_destroy(self._h)
             except Exception:
                 pass
+
+
+def decode_cloud2_organized(
+    data: bytes, height: int, width: int, row_step: int, point_step: int,
+    off_x: int, off_y: int, off_z: int,
+) -> np.ndarray:
+    """Decode a full PointCloud2 layout (row padding allowed) into packed
+    finite [n, 3] float32."""
+    _check_cloud2_rows_layout(data, height, width, row_step, point_step,
+                              off_x, off_y, off_z)
+    lib = _load()
+    if lib is not None:
+        cap = height * width
+        out = np.empty((max(cap, 1), 3), np.float32)
+        buf = np.frombuffer(data, np.uint8)
+        n = int(
+            lib.decode_cloud2_rows(
+                _u8ptr(buf), len(data), height, width, row_step, point_step,
+                off_x, off_y, off_z, _fptr(out), cap,
+            )
+        )
+        return out[:n]
+    return _decode_rows_numpy(
+        data, height, width, row_step, point_step, off_x, off_y, off_z
+    )
 
 
 def decode_cloud2(data: bytes, n_points: int, point_step: int,

@@ -193,4 +193,113 @@ int64_t decode_cloud2(const uint8_t* data, int64_t n_points,
   return w;
 }
 
+// --------------------------------------------- organized-cloud (v2) decode
+// Full sensor_msgs/PointCloud2 layout: `height` rows of `width` records,
+// rows `row_step` bytes apart (row padding allowed: row_step >=
+// width*point_step), records `point_step` bytes apart.  `data_len` bounds
+// every read IN native code (defense in depth on top of the Python-side
+// layout validation): a record is decoded only if it fits entirely inside
+// the buffer, so truncated streams degrade to fewer points, never OOB
+// reads.  Reference layout fields: obstacle_detection.cpp:80 (960x540 qhd
+// organized input), CMakeLists.txt:60-85 message surface.
+int64_t decode_cloud2_rows(const uint8_t* data, int64_t data_len,
+                           int32_t height, int32_t width, int64_t row_step,
+                           int32_t point_step, int32_t off_x, int32_t off_y,
+                           int32_t off_z, float* xyz_out, int64_t max_out) {
+  if (point_step <= 0 || row_step < 0 || height < 0 || width < 0) return 0;
+  if (off_x < 0 || off_y < 0 || off_z < 0) return 0;
+  if (off_x + 4 > point_step || off_y + 4 > point_step ||
+      off_z + 4 > point_step)
+    return 0;
+  int64_t w = 0;
+  float p[3];
+  for (int64_t r = 0; r < height && w < max_out; ++r) {
+    const int64_t row_base = r * row_step;
+    for (int64_t c = 0; c < width && w < max_out; ++c) {
+      const int64_t rec_off = row_base + c * point_step;
+      if (rec_off + point_step > data_len) break;  // truncated tail
+      const uint8_t* rec = data + rec_off;
+      std::memcpy(&p[0], rec + off_x, 4);
+      std::memcpy(&p[1], rec + off_y, 4);
+      std::memcpy(&p[2], rec + off_z, 4);
+      if (!std::isfinite(p[0]) || !std::isfinite(p[1]) ||
+          !std::isfinite(p[2]))
+        continue;
+      std::memcpy(xyz_out + w * 3, p, 12);
+      ++w;
+    }
+  }
+  return w;
+}
+
+// Organized-cloud accumulate: decode_cloud2_rows + transform + append,
+// multithreaded over rows.  Same in-ABI bounds guarantees as above.
+int64_t accumulator_append_cloud2_rows(void* handle, const uint8_t* data,
+                                       int64_t data_len, int32_t height,
+                                       int32_t width, int64_t row_step,
+                                       int32_t point_step, int32_t off_x,
+                                       int32_t off_y, int32_t off_z,
+                                       const float* R, const float* t,
+                                       int32_t n_threads) {
+  auto* acc = static_cast<Accumulator*>(handle);
+  const int64_t start = acc->count.load();
+  if (start >= acc->capacity || height <= 0 || width <= 0) return 0;
+  if (point_step <= 0 || row_step < 0) return 0;
+  if (off_x < 0 || off_y < 0 || off_z < 0) return 0;
+  if (off_x + 4 > point_step || off_y + 4 > point_step ||
+      off_z + 4 > point_step)
+    return 0;
+
+  int nt = n_threads > 0 ? n_threads : hw_threads();
+  if (static_cast<int64_t>(height) * width < 8192) nt = 1;
+  if (nt > height) nt = height;
+  std::vector<std::vector<float>> parts(nt);
+  std::vector<std::thread> threads;
+  const int64_t rows_per = (height + nt - 1) / nt;
+
+  for (int ti = 0; ti < nt; ++ti) {
+    threads.emplace_back([&, ti]() {
+      const int64_t r_lo = ti * rows_per;
+      const int64_t r_hi = std::min<int64_t>(height, r_lo + rows_per);
+      auto& out = parts[ti];
+      out.reserve((r_hi > r_lo ? (r_hi - r_lo) * width : 0) * 3);
+      float p[3], q[3];
+      for (int64_t r = r_lo; r < r_hi; ++r) {
+        const int64_t row_base = r * row_step;
+        for (int64_t c = 0; c < width; ++c) {
+          const int64_t rec_off = row_base + c * point_step;
+          if (rec_off + point_step > data_len) break;
+          const uint8_t* rec = data + rec_off;
+          std::memcpy(&p[0], rec + off_x, 4);
+          std::memcpy(&p[1], rec + off_y, 4);
+          std::memcpy(&p[2], rec + off_z, 4);
+          if (!std::isfinite(p[0]) || !std::isfinite(p[1]) ||
+              !std::isfinite(p[2]))
+            continue;
+          transform_point(R, t, p, q);
+          out.push_back(q[0]);
+          out.push_back(q[1]);
+          out.push_back(q[2]);
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+
+  int64_t cursor = start;
+  for (auto& part : parts) {
+    const int64_t n = static_cast<int64_t>(part.size() / 3);
+    const int64_t room = acc->capacity - cursor;
+    const int64_t take = std::min(n, room);
+    if (take > 0) {
+      std::memcpy(acc->points + cursor * 3, part.data(),
+                  take * 3 * sizeof(float));
+      std::memset(acc->valid + cursor, 1, take);
+      cursor += take;
+    }
+  }
+  acc->count.store(cursor);
+  return cursor - start;
+}
+
 }  // extern "C"

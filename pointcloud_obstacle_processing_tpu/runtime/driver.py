@@ -106,9 +106,11 @@ class ObstacleDetectionNode:
             tf = self.tf.lookup_transform(self.world_frame, self.sensor_frame)
             R = np.asarray(quat_to_matrix(tf.quat_xyzw))
             t = np.asarray(tf.translation)
-            self.accumulator.append_cloud2(
-                msg.data, msg.n_points, msg.point_step,
-                msg.off_x, msg.off_y, msg.off_z, R, t,
+            # full wire layout: organized clouds (height x width, row
+            # padding) and arbitrary field offsets decode natively
+            self.accumulator.append_cloud2_organized(
+                msg.data, msg.height, msg.width, msg.row_step,
+                msg.point_step, msg.off_x, msg.off_y, msg.off_z, R, t,
             )
             self._frames += 1
         else:

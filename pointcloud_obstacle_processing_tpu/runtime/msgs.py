@@ -20,6 +20,7 @@ import numpy as np
 
 __all__ = [
     "Header",
+    "PointField",
     "PointCloud2Msg",
     "OccupancyGridMsg",
     "PointWithRadMsg",
@@ -41,9 +42,36 @@ class Header:
         return cls(frame_id=frame_id, stamp=time.time(), seq=seq)
 
 
+# sensor_msgs/PointField datatype codes
+INT8, UINT8, INT16, UINT16, INT32, UINT32, FLOAT32, FLOAT64 = range(1, 9)
+
+
+@dataclasses.dataclass
+class PointField:
+    """sensor_msgs/PointField: one channel of a PointCloud2 record."""
+
+    name: str
+    offset: int
+    datatype: int = FLOAT32
+    count: int = 1
+
+
 @dataclasses.dataclass
 class PointCloud2Msg:
-    """sensor_msgs/PointCloud2 equivalent: strided binary point records."""
+    """sensor_msgs/PointCloud2 equivalent — the full wire surface.
+
+    Carries everything the ROS message does (obstacle_detection.cpp:682-689
+    consumes it via pcl conversions; the input is an organized 960x540 qhd
+    cloud, cpp:80): ``height`` x ``width`` records, a ``fields`` schema
+    naming each channel's offset/type, ``row_step`` (>= width*point_step;
+    row padding allowed), ``is_bigendian`` and ``is_dense``.  The xyz
+    offsets are derived from the fields schema when one is given, so
+    arbitrary field layouts (rgb, intensity, padding...) decode correctly.
+
+    Constructor defaults keep the simple unorganized form working:
+    height=1, width=n_points, row_step=width*point_step, fields=x/y/z
+    float32 at (off_x, off_y, off_z).
+    """
 
     header: Header
     n_points: int
@@ -52,6 +80,36 @@ class PointCloud2Msg:
     off_x: int = 0
     off_y: int = 4
     off_z: int = 8
+    height: int = 0  # 0 => unorganized (1 row)
+    width: int = 0  # 0 => n_points
+    row_step: int = 0  # 0 => width * point_step
+    is_bigendian: bool = False
+    is_dense: bool = False
+    fields: list = dataclasses.field(default_factory=list)
+
+    def __post_init__(self):
+        if self.height <= 0 or self.width <= 0:
+            self.height, self.width = 1, self.n_points
+        if self.row_step <= 0:
+            self.row_step = self.width * self.point_step
+        if not self.fields:
+            self.fields = [
+                PointField("x", self.off_x),
+                PointField("y", self.off_y),
+                PointField("z", self.off_z),
+            ]
+        else:
+            by_name = {f.name: f for f in self.fields}
+            for name, attr in (("x", "off_x"), ("y", "off_y"), ("z", "off_z")):
+                f = by_name.get(name)
+                if f is None:
+                    raise ValueError(f"PointCloud2 fields schema lacks '{name}'")
+                if f.datatype != FLOAT32:
+                    raise ValueError(
+                        f"field '{name}' must be FLOAT32 (datatype 7), got "
+                        f"{f.datatype} — non-f32 coordinates are not supported"
+                    )
+                setattr(self, attr, f.offset)
 
     @classmethod
     def from_xyz(cls, xyz: np.ndarray, frame_id: str = "kinect2_link",
@@ -68,40 +126,126 @@ class PointCloud2Msg:
             data=rec.tobytes(),
         )
 
+    @classmethod
+    def from_organized(
+        cls, xyz_image: np.ndarray, frame_id: str = "kinect2_link",
+        seq: int = 0, point_step: int | None = None,
+        fields: list | None = None, row_pad: int = 0,
+        extra_channels: dict | None = None,
+    ) -> "PointCloud2Msg":
+        """Pack an [H, W, 3] image-form cloud as an organized PointCloud2.
+
+        ``extra_channels``: optional {name: [H, W] float32} channels appended
+        after xyz (e.g. intensity), producing a non-16-byte record and a
+        fields schema the decoder must honor.  ``row_pad``: extra bytes of
+        padding per row (row_step = W*point_step + row_pad).
+        """
+        xyz_image = np.asarray(xyz_image, np.float32)
+        h, w, _ = xyz_image.shape
+        extra = list((extra_channels or {}).items())
+        if fields is None:
+            fields = [PointField("x", 0), PointField("y", 4), PointField("z", 8)]
+            off = 12
+            for name, _ in extra:
+                fields.append(PointField(name, off))
+                off += 4
+            point_step = point_step or off
+        else:
+            point_step = point_step or (
+                max(f.offset for f in fields) + 4
+            )
+        rec = np.zeros((h, w, point_step), np.uint8)
+        by_name = {f.name: f for f in fields}
+        for name, values in [("x", xyz_image[..., 0]), ("y", xyz_image[..., 1]),
+                             ("z", xyz_image[..., 2])] + [
+            (n, np.asarray(v, np.float32)) for n, v in extra
+        ]:
+            o = by_name[name].offset
+            rec[:, :, o : o + 4] = (
+                np.ascontiguousarray(values, np.float32)
+                .view(np.uint8)
+                .reshape(h, w, 4)
+            )
+        row_step = w * point_step + row_pad
+        rows = np.zeros((h, row_step), np.uint8)
+        rows[:, : w * point_step] = rec.reshape(h, w * point_step)
+        return cls(
+            header=Header.now(frame_id, seq),
+            n_points=h * w,
+            point_step=point_step,
+            data=rows.tobytes(),
+            height=h,
+            width=w,
+            row_step=row_step,
+            is_dense=bool(np.isfinite(xyz_image).all()),
+            fields=fields,
+        )
+
     def xyz(self) -> np.ndarray:
         """Decode to packed finite [n,3] float32 (native fast path)."""
-        from ..native import decode_cloud2
+        if self.is_bigendian:
+            raise ValueError("big-endian PointCloud2 payloads are not supported")
+        from ..native import decode_cloud2_organized
 
-        return decode_cloud2(
-            self.data, self.n_points, self.point_step,
-            self.off_x, self.off_y, self.off_z,
+        return decode_cloud2_organized(
+            self.data, self.height, self.width, self.row_step,
+            self.point_step, self.off_x, self.off_y, self.off_z,
         )
 
     def serialize(self) -> bytes:
         fid = self.header.frame_id.encode()
         head = struct.pack(
-            "<4sBdqiH iiii".replace(" ", ""),
-            _MAGIC, 1, self.header.stamp, self.header.seq, self.n_points,
+            "<4sBdqiHiiiiiiqBBH",
+            _MAGIC, 2, self.header.stamp, self.header.seq, self.n_points,
             len(fid), self.point_step, self.off_x, self.off_y, self.off_z,
+            self.height, self.width, self.row_step,
+            int(self.is_bigendian), int(self.is_dense), len(self.fields),
         )
-        return head + fid + self.data
+        fblob = b""
+        for f in self.fields:
+            nm = f.name.encode()
+            fblob += struct.pack("<HiiI", len(nm), f.offset, f.datatype, f.count)
+            fblob += nm
+        return head + fblob + fid + self.data
 
     @classmethod
     def deserialize(cls, buf: bytes) -> "PointCloud2Msg":
-        fmt = "<4sBdqiH iiii".replace(" ", "")
-        size = struct.calcsize(fmt)
-        magic, ver, stamp, seq, n, fl, step, ox, oy, oz = struct.unpack(
-            fmt, buf[:size]
-        )
+        magic, ver = struct.unpack("<4sB", buf[:5])
         if magic != _MAGIC:
             raise ValueError("bad magic")
-        fid = buf[size : size + fl].decode()
+        if ver == 1:  # round-1 recordings: unorganized, fixed x/y/z schema
+            fmt = "<4sBdqiHiiii"
+            size = struct.calcsize(fmt)
+            _, _, stamp, seq, n, fl, step, ox, oy, oz = struct.unpack(
+                fmt, buf[:size]
+            )
+            fid = buf[size : size + fl].decode()
+            return cls(
+                header=Header(frame_id=fid, stamp=stamp, seq=seq),
+                n_points=n, point_step=step, data=buf[size + fl :],
+                off_x=ox, off_y=oy, off_z=oz,
+            )
+        if ver != 2:
+            raise ValueError(f"unknown PointCloud2 serialization version {ver}")
+        fmt = "<4sBdqiHiiiiiiqBBH"
+        size = struct.calcsize(fmt)
+        (_, _, stamp, seq, n, fl, step, ox, oy, oz, h, w, row_step,
+         bigend, dense, n_fields) = struct.unpack(fmt, buf[:size])
+        pos = size
+        fields = []
+        for _ in range(n_fields):
+            nl, off, dt, cnt = struct.unpack("<HiiI", buf[pos : pos + 14])
+            pos += 14
+            fields.append(PointField(buf[pos : pos + nl].decode(), off, dt, cnt))
+            pos += nl
+        fid = buf[pos : pos + fl].decode()
+        pos += fl
         return cls(
             header=Header(frame_id=fid, stamp=stamp, seq=seq),
-            n_points=n,
-            point_step=step,
-            data=buf[size + fl :],
+            n_points=n, point_step=step, data=buf[pos:],
             off_x=ox, off_y=oy, off_z=oz,
+            height=h, width=w, row_step=row_step,
+            is_bigendian=bool(bigend), is_dense=bool(dense), fields=fields,
         )
 
 
