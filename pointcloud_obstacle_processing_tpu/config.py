@@ -82,8 +82,14 @@ class PipelineConfig:
     statistical_outlier_std_dev_thresh: float = 1.0
     # k-smallest reduction backend: "approx" = TPU-native lax.approx_min_k
     # (recall 0.98, ~0.1% mean perturbation, 6.5x faster); "exact" =
-    # hierarchical top_k with exact PCL semantics.
+    # hierarchical top_k with exact PCL semantics; "banded" = rank-window
+    # candidate pruning over the voxel-lattice-sorted cloud (the grid-hash
+    # neighbor engine, SURVEY.md §7 step 4) — requires downsampled input
+    # (the pipeline falls back to "approx" when downsampling is disabled).
     knn_backend: str = "approx"
+    # half-width (in rank space) of the "banded" candidate window; the
+    # window is row_tile + 2*knn_band columns wide.
+    knn_band: int = 512
 
     # ---- RANSAC plane segmentation (cpp:969-970, :364-399) -----------------
     plane_segment_dist_thresh: float = 0.040

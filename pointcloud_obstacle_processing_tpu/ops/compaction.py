@@ -36,9 +36,35 @@ def compact(cloud: Cloud, capacity_out: int | None = None) -> CompactResult:
     """
     n = cloud.capacity
     capacity_out = capacity_out or n
-    # Destination slot of each valid point = its rank among valid points.
-    # cumsum + one scatter: far cheaper than a sort on TPU (XLA TPU sorts
-    # have very high single-instance latency).
+    if n % 128 == 0:
+        # Slot-centric compaction: the ascending source index of each output
+        # slot via the block-structured stream compaction (comparison-sum +
+        # one-hot matmul; see mxu_histogram.compact_occupied_blocks), then
+        # one [capacity_out]-row point gather.  Replaces the N-wide scatter
+        # (serialized ~20 cycles/update on TPU: ~3 ms at N=131k).
+        from .mxu_histogram import compact_occupied_blocks
+
+        loc, count = compact_occupied_blocks(
+            cloud.valid.reshape(n // 128, 128), capacity_out
+        )
+        out_valid = (
+            lax.broadcasted_iota(jnp.int32, (capacity_out, 1), 0)[:, 0]
+            < jnp.minimum(count, capacity_out)
+        )
+        safe = jnp.where(out_valid, loc, 0)
+        out_pts = cloud.points[safe]
+        source_index = jnp.where(out_valid, loc, 0)
+        return CompactResult(
+            cloud=Cloud(
+                points=jnp.where(out_valid[:, None], out_pts, 0.0),
+                valid=out_valid,
+            ),
+            count=jnp.minimum(count, capacity_out),
+            source_index=source_index,
+            overflow=count > capacity_out,
+        )
+
+    # fallback (non-128-multiple capacities): rank scatter
     pos = jnp.cumsum(cloud.valid.astype(jnp.int32)) - 1
     ids = jnp.where(cloud.valid & (pos < capacity_out), pos, capacity_out)
     idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]

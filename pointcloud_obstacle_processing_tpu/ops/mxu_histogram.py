@@ -29,7 +29,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["histogram2d_mxu", "weighted_histogram_mxu", "MXU_HISTOGRAM_MAX_BINS"]
+__all__ = [
+    "histogram2d_mxu",
+    "weighted_histogram_mxu",
+    "compact_occupied_blocks",
+    "compact_and_gather_blocks",
+    "MXU_HISTOGRAM_MAX_BINS",
+]
 
 # Above this bin count the N*K one-hot matmul loses to the serialized
 # scatter (~3 ms at N=131k): N*K MACs / ~2e14 flops/s > scatter time.
@@ -126,17 +132,11 @@ def weighted_histogram_blocks(
     return out, a, b
 
 
-def compact_occupied_blocks(occupied: jax.Array, capacity: int):
-    """Indices of the first ``capacity`` True entries of a [A, B] block grid.
-
-    Block-structured stream compaction: per-block counts (lane-axis reduce),
-    a tiny cumsum over the A blocks, an [A]-wide searchsorted per output
-    slot, then a lane-axis cumsum + argmax inside the selected block row.
-    Everything is lane-vectorized — unlike a flat cumsum + searchsorted over
-    A*B elements, which costs several ms at K~2e5 on TPU.
-
-    Returns (flat_idx [capacity] int32 ascending, num_occupied []).
-    """
+def _compact_blocks_legacy(occupied: jax.Array, capacity: int):
+    """searchsorted + row-gather compaction — kept for LARGE block counts
+    (the [S, A] comparison matrix of the MXU version scales with A; above
+    ~8k block rows the gathers win again, e.g. the fullscale 0.015-leaf
+    scatter path with A ~ 31k)."""
     a, b = occupied.shape
     occ_i = occupied.astype(jnp.int32)
     per_block = jnp.sum(occ_i, axis=1)  # [A]
@@ -148,8 +148,168 @@ def compact_occupied_blocks(occupied: jax.Array, capacity: int):
     blk = jnp.minimum(
         jnp.searchsorted(offsets, target, side="left").astype(jnp.int32), a - 1
     )
-    rows = occ_i[blk]  # [capacity, B] contiguous row gathers
+    rows = occ_i[blk]  # [capacity, B] row gathers
     local = jnp.cumsum(rows, axis=1)
     tgt = (target - excl[blk])[:, None]
     lane = jnp.argmax((local == tgt) & (rows > 0), axis=1).astype(jnp.int32)
     return blk * b + lane, num
+
+
+# Above this many block rows the [S, A] comparison/one-hot matrices of the
+# MXU compaction dominate; fall back to the gather-based form.
+_COMPACT_MXU_MAX_BLOCKS = 8192
+
+
+def compact_occupied_blocks(occupied: jax.Array, capacity: int):
+    """Indices of the first ``capacity`` True entries of a [A, B] block grid.
+
+    Block-structured stream compaction with NO serialized gathers (XLA
+    lowers a [capacity]-row gather to a per-row loop: the original
+    ``occ[blk]`` formulation cost ~70 ms/batch-of-32 at A*B~2e5 on v5e —
+    8.8x this one):
+
+    * per-block counts + a tiny [A] cumsum;
+    * the per-slot block id as a **comparison sum** —
+      ``blk[s] = #{a : offsets[a] < s+1}`` (= searchsorted left), one
+      [S, A] compare+reduce on the VPU;
+    * the selected block's occupancy row and running-offset metadata
+      fetched by **one bf16 one-hot matmul** [S, A] @ [A, B+4] — every
+      gathered column is an integer < 256 (occupancy 0/1, per-block count
+      <= B <= 256... the offset split into base-256 digits), so bf16
+      factors accumulate exactly in f32;
+    * lane id via lane-axis cumsum + argmax on the gathered rows.
+
+    Returns (flat_idx [capacity] int32 ascending, num_occupied []).
+    """
+    a, b = occupied.shape
+    if a > _COMPACT_MXU_MAX_BLOCKS:
+        return _compact_blocks_legacy(occupied, capacity)
+    occ_i = occupied.astype(jnp.int32)
+    per_block = jnp.sum(occ_i, axis=1)  # [A]
+    offsets = jnp.cumsum(per_block)  # inclusive
+    num = offsets[-1]
+
+    target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1  # [S]
+    cmp = (offsets[None, :] < target[:, None]).astype(jnp.int32)  # [S, A]
+    blk = jnp.minimum(jnp.sum(cmp, axis=1), a - 1)  # [S]
+
+    # gather matrix: occupancy row + per-block count + offset digits.
+    # per_block <= b; a block wider than 256 lanes would overflow bf16's
+    # exact-integer range, so split it into base-256 digits as well.
+    pb0 = per_block % 256
+    pb1 = per_block // 256
+    o0 = offsets % 256
+    o1 = (offsets // 256) % 256
+    o2 = offsets // 65536  # supports A*B < 2^24 bins
+    gmat = jnp.concatenate(
+        [
+            occupied.astype(jnp.bfloat16),
+            pb0[:, None].astype(jnp.bfloat16),
+            pb1[:, None].astype(jnp.bfloat16),
+            o0[:, None].astype(jnp.bfloat16),
+            o1[:, None].astype(jnp.bfloat16),
+            o2[:, None].astype(jnp.bfloat16),
+        ],
+        axis=1,
+    )  # [A, B+5]
+    cols = lax.broadcasted_iota(jnp.int32, (1, a), 1)
+    oh = (blk[:, None] == cols).astype(jnp.bfloat16)  # [S, A]
+    g = lax.dot_general(
+        oh, gmat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, B+5]
+    rows = g[:, :b].astype(jnp.int32)
+    pb = (g[:, b] + g[:, b + 1] * 256.0).astype(jnp.int32)
+    offs = (g[:, b + 2] + g[:, b + 3] * 256.0 + g[:, b + 4] * 65536.0).astype(
+        jnp.int32
+    )
+    excl = offs - pb  # exclusive offset of the selected block
+
+    local = jnp.cumsum(rows, axis=1)
+    tgt = (target - excl)[:, None]
+    lane = jnp.argmax((local == tgt) & (rows > 0), axis=1).astype(jnp.int32)
+    return blk * b + lane, num
+
+
+def compact_and_gather_blocks(
+    bins: jax.Array, occ2d: jax.Array, capacity: int, value_terms: int = 2
+):
+    """Compaction + per-slot bin VALUES fetched in the same one-hot matmul.
+
+    ``bins``: [A*B, C] float32 flat bin table (row-major matching the
+    [A, B] ``occ2d`` occupancy view).  Returns (flat_idx [S], num,
+    values [S, C]) — equivalent to ``compact_occupied_blocks`` followed by
+    ``bins[flat_idx]``, but the value rows ride the SAME [S, A] one-hot
+    matmul as the occupancy rows instead of a serialized XLA row gather
+    (measured ~12 ms/batch-of-32 at S=16k, A*B=235k on v5e).
+
+    ``value_terms``: bf16 split terms per value column.  Gathering through
+    a bf16 matmul would truncate values; splitting v = t0 + t1 (+ t2) into
+    bf16 terms and summing the separately-gathered terms bounds the error
+    at |v| * 2^-16 (2 terms) / |v| * 2^-24 (3 terms, ~f32 ulp).  Integers
+    below 2^17 (e.g. counts) are recovered EXACTLY by 2 terms: bf16
+    rounding of such an integer leaves an integer residual <= 2^8, itself
+    exactly representable.
+    """
+    a, b = occ2d.shape
+    c = bins.shape[1]
+    if a > _COMPACT_MXU_MAX_BLOCKS:
+        loc, num = _compact_blocks_legacy(occ2d, capacity)
+        return loc, num, bins[loc]
+
+    occ_i = occ2d.astype(jnp.int32)
+    per_block = jnp.sum(occ_i, axis=1)
+    offsets = jnp.cumsum(per_block)
+    num = offsets[-1]
+
+    target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1
+    cmp = (offsets[None, :] < target[:, None]).astype(jnp.int32)
+    blk = jnp.minimum(jnp.sum(cmp, axis=1), a - 1)
+
+    pb0 = per_block % 256
+    pb1 = per_block // 256
+    o0 = offsets % 256
+    o1 = (offsets // 256) % 256
+    o2 = offsets // 65536
+    v = bins.reshape(a, b * c)
+    terms = []
+    resid = v
+    for _ in range(value_terms):
+        t = resid.astype(jnp.bfloat16)
+        terms.append(t)
+        resid = resid - t.astype(jnp.float32)
+    gmat = jnp.concatenate(
+        [
+            occ2d.astype(jnp.bfloat16),
+            pb0[:, None].astype(jnp.bfloat16),
+            pb1[:, None].astype(jnp.bfloat16),
+            o0[:, None].astype(jnp.bfloat16),
+            o1[:, None].astype(jnp.bfloat16),
+            o2[:, None].astype(jnp.bfloat16),
+        ]
+        + terms,
+        axis=1,
+    )  # [A, B + 5 + value_terms*B*C]
+    cols = lax.broadcasted_iota(jnp.int32, (1, a), 1)
+    oh = (blk[:, None] == cols).astype(jnp.bfloat16)
+    g = lax.dot_general(
+        oh, gmat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, B + 5 + value_terms*B*C]
+    rows = g[:, :b].astype(jnp.int32)
+    pb = (g[:, b] + g[:, b + 1] * 256.0).astype(jnp.int32)
+    offs = (g[:, b + 2] + g[:, b + 3] * 256.0 + g[:, b + 4] * 65536.0).astype(
+        jnp.int32
+    )
+    excl = offs - pb
+
+    local = jnp.cumsum(rows, axis=1)
+    tgt = (target - excl)[:, None]
+    hit = (local == tgt) & (rows > 0)
+    lane = jnp.argmax(hit, axis=1).astype(jnp.int32)
+
+    vals = g[:, b + 5 :].reshape(capacity, value_terms, b, c)
+    vals = jnp.sum(vals, axis=1)  # recombine split terms: [S, B, C]
+    lane_oh = hit.astype(jnp.float32)  # exactly one True per real slot
+    values = jnp.sum(vals * lane_oh[:, :, None], axis=1)  # [S, C]
+    return blk * b + lane, num, values

@@ -131,9 +131,24 @@ def mark_obstacles(grid: jax.Array, cloud: Cloud, config: PipelineConfig) -> jax
     The reference performs this write *without* a bounds check (unlike the
     histogram path) — an out-of-grid index is undefined behavior in the C++.
     We drop out-of-range writes instead.
+
+    Implementation: the write set is "cells with >= 1 non-plane point", i.e.
+    an occupancy histogram — computed as the same MXU one-hot matmul as the
+    seeding histogram instead of a serialized scatter (~3 ms per 131k
+    updates on v5e).  The flat index is re-split as (idx//W, idx%W) so a
+    col >= W write wraps into the next row exactly like the C++ flat
+    ``grid[idx]`` access.
     """
+    from .mxu_histogram import histogram2d_mxu
+
     index = grid_cell_index(cloud.points, config)
-    ok = cloud.valid & jnp.all(jnp.isfinite(cloud.points), axis=-1)
-    flat = jnp.asarray(grid).reshape(-1)
-    flat = flat.at[jnp.where(ok, index, config.grid_size)].set(jnp.int8(100), mode="drop")
-    return flat.reshape(grid.shape)
+    ok = (
+        cloud.valid
+        & jnp.all(jnp.isfinite(cloud.points), axis=-1)
+        & (index >= 0)
+        & (index < config.grid_size)
+    )
+    row = index // config.grid_width
+    col = index % config.grid_width
+    hit = histogram2d_mxu(row, col, ok, config.grid_height, config.grid_width) > 0
+    return jnp.where(hit, jnp.int8(100), jnp.asarray(grid))

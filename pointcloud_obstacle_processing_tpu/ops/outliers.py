@@ -37,7 +37,8 @@ from ..types import Cloud
 __all__ = ["knn_mean_distances", "remove_statistical_outliers", "OutlierResult"]
 
 def knn_mean_distances(
-    cloud: Cloud, k: int, row_tile: int = 512, backend: str = "approx"
+    cloud: Cloud, k: int, row_tile: int = 512, backend: str = "approx",
+    band: int = 1024,
 ) -> jax.Array:
     """Mean distance to the k nearest valid neighbors for every point.
 
@@ -52,6 +53,18 @@ def knn_mean_distances(
         recall 0.98; ~0.1% mean perturbation of the kNN mean distances,
         noise-level for the mu + mult*sigma statistical gate).
       * "exact": hierarchical two-level ``lax.top_k`` (exact PCL semantics).
+      * "banded": the grid-pruned engine (SURVEY.md §7 step 4's candidate
+        restriction, rank-space form).  REQUIRES the input to be sorted by
+        voxel-lattice key, which is exactly the order ``voxel_downsample``
+        emits (ascending packed (ix, iy, iz)): spatial neighbors then sit
+        within a bounded RANK window, so query tile t only scores columns
+        [tT - band, tT + T + band) — a contiguous slice, no gather — and
+        runs ``approx_min_k`` on rows ~``(T + 2*band)`` wide instead of N.
+        This is the same ~N_cand/N work reduction as a 27-cell grid-hash
+        walk but with zero bucketing overhead; candidates outside the
+        window are missed, so the mean distances are an upper bound for
+        rare boundary points (statistically invisible to the mu + m*sigma
+        gate; validated vs exact in tests/test_outliers.py).
     """
     pts = cloud.points
     n = cloud.capacity
@@ -87,26 +100,27 @@ def knn_mean_distances(
         neg2, _ = lax.top_k(cand, kk)
         return -neg2
 
-    def tile_fn(args):
-        q, q_sq, q_ids = args  # [T,3], [T], [T]
-        # [T, N] squared distances on the MXU.
-        # HIGHEST precision: the TPU MXU default truncates inputs to
-        # bfloat16, which perturbs kNN distances by ~4e-3 relative — enough
-        # to reorder neighbor sets.  Full-f32 passes keep distances exact.
-        d2 = q_sq[:, None] + p_sq[None, :] - 2.0 * jnp.dot(
-            q, p.T, preferred_element_type=jnp.float32,
+    big = jnp.float32(3.0e38)
+
+    def _score_tile(q, q_sq, q_ids, cols, cols_sq, c_ids, c_valid):
+        """[T, C] squared distances on the MXU + k-smallest mean.
+
+        HIGHEST precision: the TPU MXU default truncates inputs to
+        bfloat16, which perturbs kNN distances by ~4e-3 relative — enough
+        to reorder neighbor sets.  Full-f32 passes keep distances exact.
+        Self and invalid columns get a big finite sentinel (not inf: the
+        mean masks on the sentinel instead of isfinite)."""
+        d2 = q_sq[:, None] + cols_sq[None, :] - 2.0 * jnp.dot(
+            q, cols.T, preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
         )
         d2 = jnp.maximum(d2, 0.0)
-        # exclude self and invalid columns (big finite sentinel, not inf:
-        # the mean below masks on the sentinel instead of isfinite)
-        big = jnp.float32(3.0e38)
-        d2 = jnp.where(valid[None, :], d2, big)
-        d2 = jnp.where(q_ids[:, None] == row_ids[None, :], big, d2)
-        if backend == "approx":
-            dk2, _ = lax.approx_min_k(d2, k, recall_target=0.98)
-        else:
+        d2 = jnp.where(c_valid[None, :], d2, big)
+        d2 = jnp.where(q_ids[:, None] == c_ids[None, :], big, d2)
+        if backend == "exact":
             dk2 = _k_smallest(d2, k)
+        else:
+            dk2, _ = lax.approx_min_k(d2, k, recall_target=0.98)
         real = dk2 < big * 0.5
         dk = jnp.sqrt(jnp.maximum(dk2, 0.0))
         s = jnp.sum(jnp.where(real, dk, 0.0), axis=-1)
@@ -120,14 +134,49 @@ def knn_mean_distances(
     # padded query rows get ids >= n: they never match a column and their
     # outputs are sliced off below
     q_ids = jnp.pad(row_ids, (0, pad), constant_values=n)
-    out = lax.map(
-        tile_fn,
-        (
-            q_p.reshape(tiles, row_tile, 3),
-            q_sq.reshape(tiles, row_tile),
-            q_ids.reshape(tiles, row_tile),
-        ),
-    )
+
+    if backend == "banded" and row_tile + 2 * band < n:
+        # rank-window candidates: query tile t scores the contiguous column
+        # slice [t*T - band, t*T + T + band), clamped inside the buffer
+        width = row_tile + 2 * band
+        starts = jnp.clip(
+            lax.broadcasted_iota(jnp.int32, (tiles, 1), 0)[:, 0] * row_tile
+            - band,
+            0,
+            n - width,
+        )
+
+        def band_tile_fn(args):
+            q, qq, qi, start = args
+            cols = lax.dynamic_slice(p, (start, 0), (width, 3))
+            cols_sq = lax.dynamic_slice(p_sq, (start,), (width,))
+            c_ids = lax.dynamic_slice(row_ids, (start,), (width,))
+            c_valid = lax.dynamic_slice(valid, (start,), (width,))
+            return _score_tile(q, qq, qi, cols, cols_sq, c_ids, c_valid)
+
+        out = lax.map(
+            band_tile_fn,
+            (
+                q_p.reshape(tiles, row_tile, 3),
+                q_sq.reshape(tiles, row_tile),
+                q_ids.reshape(tiles, row_tile),
+                starts,
+            ),
+        )
+    else:
+
+        def tile_fn(args):
+            q, qq, qi = args
+            return _score_tile(q, qq, qi, p, p_sq, row_ids, valid)
+
+        out = lax.map(
+            tile_fn,
+            (
+                q_p.reshape(tiles, row_tile, 3),
+                q_sq.reshape(tiles, row_tile),
+                q_ids.reshape(tiles, row_tile),
+            ),
+        )
     return jnp.where(valid, out.reshape(n_q)[:n], 0.0)
 
 
@@ -139,10 +188,10 @@ class OutlierResult(NamedTuple):
 
 def remove_statistical_outliers(
     cloud: Cloud, mean_k: int, std_dev_mult: float, row_tile: int = 512,
-    backend: str = "approx",
+    backend: str = "approx", band: int = 1024,
 ) -> OutlierResult:
     """Full filter (obstacle_detection.cpp:326-330 semantics)."""
-    d = knn_mean_distances(cloud, mean_k, row_tile, backend)
+    d = knn_mean_distances(cloud, mean_k, row_tile, backend, band)
     valid_f = cloud.valid.astype(jnp.float32)
     n = jnp.maximum(jnp.sum(valid_f), 2.0)
     s1 = jnp.sum(d * valid_f)

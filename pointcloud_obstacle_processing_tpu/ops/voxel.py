@@ -112,23 +112,28 @@ def _reduce_sorted_keys(
 
 
 def _dense_bins_to_partials(
-    bins, occ2d, dims, imin, capacity: int, leaf_size: float, corner_relative: bool
+    bins, occ2d, dims, imin, capacity: int, leaf_size: float,
+    corner_relative: bool, value_terms: int = 2,
 ) -> VoxelPartials:
     """Dense [K, 4] (sum_xyz, count) bins -> compacted VoxelPartials.
 
     ``occ2d`` is the [A, B] occupancy block view of the same bins; output
     slots are the first ``capacity`` occupied bins in ascending packed order
-    (= ascending (ix, iy, iz)).
+    (= ascending (ix, iy, iz)).  The per-slot values ride the compaction's
+    one-hot matmul (compact_and_gather_blocks): counts stay exact (integer
+    < 2^17 under 2-term bf16 split); corner-relative sums carry error
+    <= count*leaf*2^-16 at 2 terms / 2^-24 at 3 terms ("exact" mode).
     """
-    from .mxu_histogram import compact_occupied_blocks
+    from .mxu_histogram import compact_and_gather_blocks
 
-    # block-structured stream compaction of the occupied bins: several
-    # ms cheaper than a flat K-wide cumsum + searchsorted on TPU
-    loc, num = compact_occupied_blocks(occ2d, capacity)
+    # block-structured stream compaction of the occupied bins + fused value
+    # gather: several ms cheaper than a flat K-wide cumsum + searchsorted,
+    # and no serialized bins[loc] row gather
+    loc, num, slot_vals = compact_and_gather_blocks(
+        bins, occ2d, capacity, value_terms
+    )
     target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1
     out_valid = target - 1 < jnp.minimum(num, capacity)
-    bin_rel_sums = bins[:, :3]
-    bin_counts = bins[:, 3]
 
     # unpack bin index -> absolute voxel coords
     lx = loc // (dims[1] * dims[2]) + imin[0]
@@ -140,8 +145,8 @@ def _dense_bins_to_partials(
         jnp.stack([lx, ly, lz], axis=-1),
         _I32_MAX,
     )
-    slot_counts = bin_counts[loc]
-    slot_sums = bin_rel_sums[loc]
+    slot_counts = slot_vals[:, 3]
+    slot_sums = slot_vals[:, :3]
     if corner_relative:
         # restore absolute sums: sum(p) = corner*count + sum(p - corner)
         slot_corner = (
@@ -226,22 +231,34 @@ def voxel_partials(
             blocks, ha, hb = weighted_histogram_blocks(
                 packed, upd, valid, K, exact_f32=(sum_precision == "exact")
             )
+            # flatten to 128-lane blocks for the compaction: its lane-axis
+            # cumsum/argmax passes scale with the block width, and 128 lanes
+            # measured ~6x cheaper than the [A, 736]-shaped block form
             bins = blocks.reshape(ha * hb, 4)
+            kp = -(-(ha * hb) // 128) * 128
+            if kp != ha * hb:
+                bins = jnp.pad(bins, ((0, kp - ha * hb), (0, 0)))
             # padded bins (>= K) have zero counts and are never occupied
-            occ2d = blocks[:, :, 3] > 0.0
+            occ2d = (bins[:, 3] > 0.0).reshape(kp // 128, 128)
             corner_relative = True
         else:
             # scatter path: one fused [K, 4] scatter-add (serialized per
             # index on TPU, but N-bound — stays viable for huge bin counts
-            # like the reference's 0.015 leaf over a 200-frame window)
-            upd = jnp.concatenate([pts * w[:, None], w[:, None]], axis=-1)
+            # like the reference's 0.015 leaf over a 200-frame window).
+            # Sums are corner-relative here too so the fused value gather's
+            # bf16 split error stays ~count*leaf*2^-16 instead of scaling
+            # with absolute coordinates.
+            corner = ijk.astype(jnp.float32) * jnp.float32(leaf_size)
+            off = jnp.where(valid[:, None], pts - corner, 0.0)
+            upd = jnp.concatenate([off, w[:, None]], axis=-1)
             kp = -(-K // 128) * 128
             bins = jnp.zeros((kp, 4), jnp.float32).at[packed].add(upd, mode="drop")
             occ2d = (bins[:, 3] > 0.0).reshape(kp // 128, 128)
-            corner_relative = False
+            corner_relative = True
 
         return _dense_bins_to_partials(
-            bins, occ2d, dims, imin, capacity, leaf_size, corner_relative
+            bins, occ2d, dims, imin, capacity, leaf_size, corner_relative,
+            value_terms=3 if sum_precision == "exact" else 2,
         )
 
     kx = jnp.where(valid, ijk[:, 0], _I32_MAX)
@@ -279,9 +296,13 @@ def merge_voxel_partials(
         ky = jnp.clip(partials.keys[:, 1] - imin[1], 0, dims[1] - 1)
         kz = jnp.clip(partials.keys[:, 2] - imin[2], 0, dims[2] - 1)
         packed = jnp.where(real, (kx * dims[1] + ky) * dims[2] + kz, K)
+        # corner-relative partial sums: keeps the fused value gather's bf16
+        # split error proportional to count*leaf rather than |coordinate|
+        corner = partials.keys.astype(jnp.float32) * jnp.float32(leaf_size)
+        rel = partials.sums - corner * partials.counts[:, None]
         upd = jnp.concatenate(
             [
-                jnp.where(real[:, None], partials.sums, 0.0),
+                jnp.where(real[:, None], rel, 0.0),
                 jnp.where(real, partials.counts, 0.0)[:, None],
             ],
             axis=-1,
@@ -290,7 +311,8 @@ def merge_voxel_partials(
         bins = jnp.zeros((kp, 4), jnp.float32).at[packed].add(upd, mode="drop")
         occ2d = (bins[:, 3] > 0.0).reshape(kp // 128, 128)
         return _dense_bins_to_partials(
-            bins, occ2d, dims, imin, capacity, leaf_size, corner_relative=False
+            bins, occ2d, dims, imin, capacity, leaf_size, corner_relative=True,
+            value_terms=3,
         )
 
     kx, ky, kz, sx, sy, sz, cnt = lax.sort(

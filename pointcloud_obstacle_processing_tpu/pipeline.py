@@ -116,12 +116,18 @@ def _post_voxel(
     """Stages 3-8, shared between the single-chip path and the point-sharded
     multi-chip path (which voxelizes shards locally, all-gathers the partial
     voxel tables, and enters here with the merged, replicated cloud)."""
-    # 3. statistical outlier removal
+    # 3. statistical outlier removal.  The "banded" engine needs the
+    # voxel-lattice ordering that only voxel_downsample guarantees; with
+    # downsampling disabled the cloud is scan-ordered => full-width approx.
+    backend = config.knn_backend
+    if backend == "banded" and not config.downsample_input_data:
+        backend = "approx"
     outl = remove_statistical_outliers(
         voxel_cloud,
         config.statistical_outlier_mean_k,
         config.statistical_outlier_std_dev_thresh,
-        backend=config.knn_backend,
+        backend=backend,
+        band=config.knn_band,
     )
 
     # 4. multi-plane RANSAC removal

@@ -98,3 +98,45 @@ def test_odd_capacity_stays_tiled(rng):
     d, _ = cKDTree(pts).query(pts, k=11)
     want = d[:, 1:].mean(axis=1)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+
+def test_banded_backend_agrees_with_exact_on_voxel_sorted_cloud():
+    """The rank-window (grid-pruned) engine on a voxel-lattice-sorted cloud:
+    spatial neighbors sit within the rank band, so mean distances match the
+    exact all-pairs backend for essentially every point and the statistical
+    gate decides identically."""
+    from pointcloud_obstacle_processing_tpu.config import REFERENCE_YAML_CONFIG
+    from pointcloud_obstacle_processing_tpu.ops.occupancy import crop_and_seed
+    from pointcloud_obstacle_processing_tpu.ops.voxel import voxel_downsample
+    from pointcloud_obstacle_processing_tpu.utils.scene import SceneSpec, make_scene
+
+    cfg = REFERENCE_YAML_CONFIG.replace(
+        max_points=65536, max_voxels=16384, downsample_leaf_size=0.04,
+    )
+    scene = make_scene(
+        seed=5, spec=SceneSpec(n_ground=45_000, n_rocks=4, points_per_rock=1500,
+                               n_noise=400),
+    )
+    cloud = Cloud.pad_to(scene.points[: cfg.max_points], cfg.max_points)
+    seed = crop_and_seed(cloud, cfg)
+    bounds = ((cfg.x_min, cfg.y_min, cfg.z_min), (cfg.x_max, cfg.y_max, cfg.z_max))
+    vox = voxel_downsample(
+        seed.cloud, cfg.downsample_leaf_size, cfg.max_voxels, bounds
+    ).cloud
+
+    exact = remove_statistical_outliers(vox, 15, 4.0, backend="exact")
+    banded = remove_statistical_outliers(vox, 15, 4.0, backend="banded", band=1024)
+
+    v = np.asarray(vox.valid)
+    de = np.asarray(exact.mean_distances)[v]
+    db = np.asarray(banded.mean_distances)[v]
+    # banded can only miss candidates => its mean distance is >= exact
+    assert (db >= de - 1e-6).all()
+    # and it misses essentially nothing on a real voxelized arena
+    rel = np.abs(db - de) / np.maximum(de, 1e-9)
+    assert np.mean(rel < 1e-6) > 0.995, np.mean(rel < 1e-6)
+    assert float(rel.mean()) < 2e-3, float(rel.mean())
+    # the statistical gate decides (near-)identically
+    keep_e = np.asarray(exact.cloud.valid)[v]
+    keep_b = np.asarray(banded.cloud.valid)[v]
+    assert np.mean(keep_e == keep_b) > 0.999
