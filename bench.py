@@ -1,14 +1,30 @@
 """Benchmark driver: scans/sec/chip on the BASELINE.json configs.
 
 Prints ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 and a per-stage breakdown (the reference's timing-table equivalent,
 obstacle_detection.cpp:913-925) on stderr.
 
-Measurement notes: on the axon-tunneled TPU, ``block_until_ready`` is not a
-reliable fence and host transfers run ~50 MB/s, so every timed function is
-reduced to a scalar on device and synced by fetching that scalar — timings
-contain compute only.
+Measurement notes (axon-tunneled TPU):
+* ``block_until_ready`` is not a reliable fence and host transfers run
+  ~50 MB/s, so every timed function reduces to a scalar on device and is
+  synced by fetching that scalar.
+* a single dispatch+fetch round-trip costs ~26 ms of tunnel RPC, which is
+  NOT device time: steady-state throughput is measured by CHAINING M
+  batches inside one jit (each iteration's input depends on the previous
+  scalar, so XLA cannot parallelize or elide them) and dividing the
+  marginal time by M — exactly what a pipelined production feed sees.
+  Both the chained (steady-state) and single-dispatch numbers are
+  reported; p50 device latency is likewise the marginal chained
+  single-scan time, alongside the RPC-inclusive p50.
+
+Two configurations are benchmarked:
+* the flagship 100k-pt scan batch (BASELINE.json north-star shape,
+  leaf 0.04), and
+* the authentic reference workload (params.yaml:16 ``downsample_size:
+  0.015`` at REFERENCE_FULLSCALE_CONFIG scale: a 2M-point accumulation
+  window, 262144-voxel cap) — reported as window latency and
+  frames/s (accumulate_count=200 frames per window, params.yaml:10).
 
 The reference publishes no numbers (BASELINE.md) — ``vs_baseline`` is
 measured against the BASELINE.json north-star target of 1000 full
@@ -44,8 +60,13 @@ def _timed(fn, *args, iters=5):
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from pointcloud_obstacle_processing_tpu import Cloud, REFERENCE_YAML_CONFIG
+    from pointcloud_obstacle_processing_tpu.models import (
+        FLAGSHIP_CONFIG,
+        REFERENCE_FULLSCALE_CONFIG,
+    )
     from pointcloud_obstacle_processing_tpu.ops.cluster import euclidean_cluster
     from pointcloud_obstacle_processing_tpu.ops.compaction import compact
     from pointcloud_obstacle_processing_tpu.ops.occupancy import crop_and_seed
@@ -59,13 +80,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    cfg = REFERENCE_YAML_CONFIG.replace(
-        max_points=131072,
-        max_voxels=16384,
-        cluster_capacity=4096,
-        max_clusters=64,
-        downsample_leaf_size=0.04,
-    )
+    cfg = FLAGSHIP_CONFIG
 
     # ---- 100k-point scan batch --------------------------------------------
     B = 32
@@ -87,37 +102,69 @@ def main():
 
     pipe = jax.vmap(lambda c, k: process_scan(c, k, cfg))
 
-    @jax.jit
-    def batched_scalar(c, k):
+    def batch_scalar(c, k):
         r = pipe(c, k)
         # tiny result: forces the whole pipeline, transfers ~4 bytes
-        return jnp.sum(r.grid.data.astype(jnp.int32)) + jnp.sum(r.clusters.num_clusters)
+        return (
+            jnp.sum(r.grid.data.astype(jnp.int32)) + jnp.sum(r.clusters.num_clusters)
+        ).astype(jnp.float32)
+
+    def chained(c, k, m):
+        """m pipeline batches, serialized by a data dependency."""
+
+        def body(carry, _):
+            cc = Cloud(points=c.points + 0.0 * carry, valid=c.valid)
+            return batch_scalar(cc, k), None
+
+        out, _ = lax.scan(body, jnp.float32(0), None, length=m)
+        return out
+
+    chain2 = jax.jit(lambda c, k: chained(c, k, 2))
+    chain10 = jax.jit(lambda c, k: chained(c, k, 10))
 
     t0 = time.perf_counter()
-    np.asarray(batched_scalar(clouds, keys))
-    log(f"compile+first batch: {time.perf_counter() - t0:.2f}s")
+    np.asarray(chain2(clouds, keys))
+    log(f"compile+first chained batch: {time.perf_counter() - t0:.2f}s")
 
-    t_batch = _timed(batched_scalar, clouds, keys, iters=6)
+    t2 = _timed(chain2, clouds, keys, iters=4)
+    t10 = _timed(chain10, clouds, keys, iters=4)
+    t_batch = (t10 - t2) / 8.0  # marginal = steady-state batch time
     scans_per_sec = B / t_batch
 
-    # p50 single-scan latency (scalarized output as well)
-    @jax.jit
+    t_single_dispatch = _timed(jax.jit(batch_scalar), clouds, keys, iters=5)
+
+    # p50 single-scan latency: RPC-inclusive and chained (device) forms
     def single_scalar(c, k):
         r = process_scan(c, k, cfg)
-        return jnp.sum(r.grid.data.astype(jnp.int32))
+        return jnp.sum(r.grid.data.astype(jnp.int32)).astype(jnp.float32)
+
+    def chained_single(c, k, m):
+        def body(carry, _):
+            cc = Cloud(points=c.points + 0.0 * carry, valid=c.valid)
+            return single_scalar(cc, k), None
+
+        out, _ = lax.scan(body, jnp.float32(0), None, length=m)
+        return out
 
     c0 = jax.tree_util.tree_map(lambda x: x[0], clouds)
     lat = []
-    np.asarray(single_scalar(c0, keys[0]))
+    f_single = jax.jit(single_scalar)
+    np.asarray(f_single(c0, keys[0]))
     for _ in range(11):
         t0 = time.perf_counter()
-        np.asarray(single_scalar(c0, keys[0]))
+        np.asarray(f_single(c0, keys[0]))
         lat.append(time.perf_counter() - t0)
     lat.sort()
     t_single = lat[len(lat) // 2]
 
+    s2 = _timed(jax.jit(lambda c, k: chained_single(c, k, 2)), c0, keys[0], iters=4)
+    s12 = _timed(jax.jit(lambda c, k: chained_single(c, k, 12)), c0, keys[0], iters=4)
+    t_single_device = (s12 - s2) / 10.0
+
     # ---- per-stage table (reference cpp:913-925 equivalent) ----------------
-    # each stage timed batched with a scalar reduction; deltas are honest.
+    # each stage timed batched with a scalar reduction; the shared dispatch
+    # RPC (~26 ms/call) is measured separately and subtracted.
+    t_null = _timed(jax.jit(lambda s: jnp.sum(s)), jnp.ones((8, 8)), iters=8)
     bounds = ((cfg.x_min, cfg.y_min, cfg.z_min), (cfg.x_max, cfg.y_max, cfg.z_max))
 
     def s_crop(c):
@@ -149,6 +196,7 @@ def main():
             lambda cc: remove_statistical_outliers(
                 cc, cfg.statistical_outlier_mean_k,
                 cfg.statistical_outlier_std_dev_thresh, backend=cfg.knn_backend,
+                band=cfg.knn_band,
             )
         )(c)
         return jnp.sum(r.cloud.valid)
@@ -158,6 +206,7 @@ def main():
             lambda cc: remove_statistical_outliers(
                 cc, cfg.statistical_outlier_mean_k,
                 cfg.statistical_outlier_std_dev_thresh, backend=cfg.knn_backend,
+                band=cfg.knn_band,
             )
         )
     )(vox.cloud)
@@ -179,11 +228,12 @@ def main():
         return jnp.sum(r.clusters.sizes)
 
     timer = StageTimer()
-    t_crop = _timed(jax.jit(s_crop), clouds) / B
-    t_vox = _timed(jax.jit(s_vox), seeded.cloud) / B
-    t_out = _timed(jax.jit(s_out), vox.cloud) / B
-    t_seg = _timed(jax.jit(s_seg), outl.cloud, keys) / B
-    t_clus = _timed(jax.jit(s_clus), comp.cloud) / B
+    sub = t_null  # dispatch RPC constant, not device time
+    t_crop = max(_timed(jax.jit(s_crop), clouds) - sub, 0.0) / B
+    t_vox = max(_timed(jax.jit(s_vox), seeded.cloud) - sub, 0.0) / B
+    t_out = max(_timed(jax.jit(s_out), vox.cloud) - sub, 0.0) / B
+    t_seg = max(_timed(jax.jit(s_seg), outl.cloud, keys) - sub, 0.0) / B
+    t_clus = max(_timed(jax.jit(s_clus), comp.cloud) - sub, 0.0) / B
     timer.record("occupancy grid creation", t_crop)
     timer.record("downsampling", t_vox)
     timer.record("statistical outlier removal", t_out)
@@ -197,8 +247,8 @@ def main():
         "1_crop_voxel_scans_per_s": round(1.0 / (t_crop + t_vox), 1),
         "2_outlier_ransac_scans_per_s": round(1.0 / (t_out + t_seg), 1),
         "3_cluster_extraction_scans_per_s": round(1.0 / t_clus, 1),
-        "4_full_pipeline_p50_latency_ms": None,  # filled below
-        "5_batched_stream_scans_per_s": None,
+        "4_full_pipeline_p50_latency_ms": round(t_single * 1e3, 3),
+        "5_batched_stream_scans_per_s": round(scans_per_sec, 2),
     }
 
     result = jax.jit(pipe)(clouds, keys)
@@ -212,14 +262,61 @@ def main():
             )
         )
     )
+    for flag in ("cluster_overflow", "shadow_overflow"):
+        v = np.asarray(getattr(result.stats, flag))
+        if v.any():
+            log(f"WARNING: {flag} on {int(v.sum())}/{B} scans — capacities truncated")
+
     log(
-        f"throughput: {scans_per_sec:.1f} scans/sec/chip "
-        f"(batch {B}, {t_batch*1e3:.2f} ms/batch); "
-        f"p50 single-scan latency: {t_single*1e3:.2f} ms"
+        f"throughput: {scans_per_sec:.1f} scans/sec/chip steady-state "
+        f"(chained batches of {B}, {t_batch*1e3:.2f} ms/batch marginal; "
+        f"single dispatch {t_single_dispatch*1e3:.2f} ms incl. ~{t_null*1e3:.0f} ms tunnel RPC); "
+        f"p50 single-scan latency: {t_single*1e3:.2f} ms RPC-inclusive, "
+        f"{t_single_device*1e3:.2f} ms device"
     )
 
-    baseline_configs["4_full_pipeline_p50_latency_ms"] = round(t_single * 1e3, 3)
-    baseline_configs["5_batched_stream_scans_per_s"] = round(scans_per_sec, 2)
+    # ---- authentic reference configuration (params.yaml leaf 0.015) --------
+    fcfg = REFERENCE_FULLSCALE_CONFIG
+    log(
+        f"fullscale config: leaf {fcfg.downsample_leaf_size}, window capacity "
+        f"{fcfg.max_points}, voxel cap {fcfg.max_voxels}"
+    )
+    fspec = SceneSpec(
+        n_ground=230_000, n_rocks=6, points_per_rock=3_000, n_noise=2_000
+    )
+    parts = [make_scene(seed=100 + i, spec=fspec).points for i in range(8)]
+    fpts = np.concatenate(parts)[: fcfg.max_points]
+    fcloud_np = np.zeros((fcfg.max_points, 3), np.float32)
+    fcloud_np[: len(fpts)] = fpts
+    fvalid = np.zeros(fcfg.max_points, bool)
+    fvalid[: len(fpts)] = True
+    log(f"fullscale window: {len(fpts)} points")
+    fcloud = Cloud(points=jnp.asarray(fcloud_np), valid=jnp.asarray(fvalid))
+
+    def f_single(c, k):
+        r = process_scan(c, k, fcfg)
+        return jnp.sum(r.grid.data.astype(jnp.int32)).astype(jnp.float32)
+
+    def f_chained(c, k, m):
+        def body(carry, _):
+            cc = Cloud(points=c.points + 0.0 * carry, valid=c.valid)
+            return f_single(cc, k), None
+
+        out, _ = lax.scan(body, jnp.float32(0), None, length=m)
+        return out
+
+    t0 = time.perf_counter()
+    f1 = _timed(jax.jit(lambda c, k: f_chained(c, k, 1)), fcloud, keys[0], iters=3)
+    f3 = _timed(jax.jit(lambda c, k: f_chained(c, k, 3)), fcloud, keys[0], iters=3)
+    t_window = (f3 - f1) / 2.0
+    frames_per_s = fcfg.accumulate_count / t_window
+    log(
+        f"fullscale (authentic 0.015 leaf): {t_window*1e3:.1f} ms/window device "
+        f"({fcfg.accumulate_count}-frame windows -> {frames_per_s:.0f} frames/s; "
+        f"measured in {time.perf_counter()-t0:.1f}s)"
+    )
+    baseline_configs["6_fullscale_0015_window_ms"] = round(t_window * 1e3, 1)
+    baseline_configs["6_fullscale_0015_frames_per_s"] = round(frames_per_s, 1)
 
     print(
         json.dumps(
@@ -229,6 +326,8 @@ def main():
                 "unit": "scans/s",
                 "vs_baseline": round(scans_per_sec / 1000.0, 4),
                 "p50_latency_ms": round(t_single * 1e3, 3),
+                "p50_device_latency_ms": round(t_single_device * 1e3, 3),
+                "single_dispatch_batch_ms": round(t_single_dispatch * 1e3, 2),
                 "configs": baseline_configs,
             }
         )

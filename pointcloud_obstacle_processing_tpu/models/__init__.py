@@ -20,24 +20,29 @@ __all__ = [
 ]
 
 # The benchmark/flagship configuration: 100k-pt scans in a 128Ki buffer
-# (BASELINE.json north-star shape).
+# (BASELINE.json north-star shape).  kNN runs the banded (rank-window
+# grid-pruned) engine over the voxel-lattice-sorted cloud.
 FLAGSHIP_CONFIG = REFERENCE_YAML_CONFIG.replace(
     max_points=131072,
     max_voxels=16384,
     cluster_capacity=4096,
     max_clusters=64,
     downsample_leaf_size=0.04,
+    knn_backend="banded",
 )
 
 # The authentic reference workload at full fidelity: a 200-frame
 # accumulation window (params.yaml:10) of ~10k-point scans at the shipped
 # 0.015 leaf — 2M-point windows, ~65k voxels, no capacity truncation.
-# Measured ~1.7 s/window end-to-end on one v5e chip (runtime/launch demo).
+# knn_band widened: at leaf 0.015 a rank band must span more voxels per
+# x-slab (~215 valid/slab) to cover the same metric radius.
 REFERENCE_FULLSCALE_CONFIG = REFERENCE_YAML_CONFIG.replace(
     max_points=2 * 1024 * 1024,
     max_voxels=262144,
     cluster_capacity=16384,
     max_clusters=64,
+    knn_backend="banded",
+    knn_band=1792,
 )
 
 

@@ -88,7 +88,7 @@ def weighted_histogram_mxu(
     (fine for counts / already-small values).
     """
     out, a, b = weighted_histogram_blocks(ids, weights, valid, k, hi_size, exact_f32)
-    return out.reshape(a * b, -1)[:k]
+    return out.reshape(-1, a * b).T[:k]
 
 
 def weighted_histogram_blocks(
@@ -100,9 +100,16 @@ def weighted_histogram_blocks(
     exact_f32: bool = True,
 ):
     """Like weighted_histogram_mxu but returns the block form
-    ([A, B, C], a, b) — the flattened position ``hi*b + lo`` equals the
+    ([C, A, B], a, b) — the flattened position ``hi*b + lo`` equals the
     original id, so block-structured consumers (compact_occupied_blocks)
-    can work on the 2-D layout directly."""
+    can work on the 2-D layout directly.
+
+    Channel-LEADING layout on purpose: a channel-minor [A, B, C=4] array
+    puts the 4-wide channel axis on the TPU lane dimension, which pads
+    4 -> 128 (32x memory bloat) and turns every per-channel update into a
+    strided lane slice; [C, A, B] keeps lanes = B and channels as cheap
+    leading-axis batches.
+    """
     n, c = weights.shape
     a = hi_size or _traffic_optimal_hi(k)
     b = -(-k // a)  # cdiv
@@ -119,17 +126,19 @@ def weighted_histogram_blocks(
     # was measured no faster and multiplies peak HBM by the channel count
     # under vmap (batched whi_all OOMs at batch 32) — sequential channels
     # keep the live set to one [N, A] factor at a time.
-    out = jnp.zeros((a, b, c), jnp.float32)
-    for t in terms:
-        for ci in range(c):
+    chans = []
+    for ci in range(c):
+        acc = None
+        for t in terms:
             whi = hi * t[:, ci][:, None]  # weight on the hi factor
             part = jax.lax.dot_general(
                 whi, lo,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [A, B]
-            out = out.at[:, :, ci].add(part)
-    return out, a, b
+            acc = part if acc is None else acc + part
+        chans.append(acc)
+    return jnp.stack(chans, axis=0), a, b
 
 
 def _compact_blocks_legacy(occupied: jax.Array, capacity: int):
@@ -236,12 +245,13 @@ def compact_and_gather_blocks(
 ):
     """Compaction + per-slot bin VALUES fetched in the same one-hot matmul.
 
-    ``bins``: [A*B, C] float32 flat bin table (row-major matching the
-    [A, B] ``occ2d`` occupancy view).  Returns (flat_idx [S], num,
-    values [S, C]) — equivalent to ``compact_occupied_blocks`` followed by
-    ``bins[flat_idx]``, but the value rows ride the SAME [S, A] one-hot
-    matmul as the occupancy rows instead of a serialized XLA row gather
-    (measured ~12 ms/batch-of-32 at S=16k, A*B=235k on v5e).
+    ``bins``: [C, A*B] float32 bin table, CHANNEL-LEADING (each channel
+    row-major matching the [A, B] ``occ2d`` occupancy view).  Returns
+    (flat_idx [S], num, values [S, C]) — equivalent to
+    ``compact_occupied_blocks`` followed by ``bins.T[flat_idx]``, but the
+    value rows ride the SAME [S, A] one-hot matmul as the occupancy rows
+    instead of a serialized XLA row gather (measured ~12 ms/batch-of-32 at
+    S=16k, A*B=235k on v5e).
 
     ``value_terms``: bf16 split terms per value column.  Gathering through
     a bf16 matmul would truncate values; splitting v = t0 + t1 (+ t2) into
@@ -252,10 +262,12 @@ def compact_and_gather_blocks(
     exactly representable.
     """
     a, b = occ2d.shape
-    c = bins.shape[1]
+    c = bins.shape[0]
     if a > _COMPACT_MXU_MAX_BLOCKS:
         loc, num = _compact_blocks_legacy(occ2d, capacity)
-        return loc, num, bins[loc]
+        # per-channel 1-D gathers (a [K, C] transpose would lane-pad C->128)
+        vals = jnp.stack([bins[ci][loc] for ci in range(c)], axis=-1)
+        return loc, num, vals
 
     occ_i = occ2d.astype(jnp.int32)
     per_block = jnp.sum(occ_i, axis=1)
@@ -271,13 +283,15 @@ def compact_and_gather_blocks(
     o0 = offsets % 256
     o1 = (offsets // 256) % 256
     o2 = offsets // 65536
-    v = bins.reshape(a, b * c)
+    # value columns: per channel, per split term, one [A, B] block view —
+    # channel-leading input keeps these as cheap reshapes (lanes stay B)
     terms = []
-    resid = v
-    for _ in range(value_terms):
-        t = resid.astype(jnp.bfloat16)
-        terms.append(t)
-        resid = resid - t.astype(jnp.float32)
+    for ci in range(c):
+        resid = bins[ci].reshape(a, b)
+        for _ in range(value_terms):
+            t = resid.astype(jnp.bfloat16)
+            terms.append(t)
+            resid = resid - t.astype(jnp.float32)
     gmat = jnp.concatenate(
         [
             occ2d.astype(jnp.bfloat16),
@@ -289,7 +303,7 @@ def compact_and_gather_blocks(
         ]
         + terms,
         axis=1,
-    )  # [A, B + 5 + value_terms*B*C]
+    )  # [A, B + 5 + C*value_terms*B]
     cols = lax.broadcasted_iota(jnp.int32, (1, a), 1)
     oh = (blk[:, None] == cols).astype(jnp.bfloat16)
     g = lax.dot_general(
@@ -308,8 +322,8 @@ def compact_and_gather_blocks(
     hit = (local == tgt) & (rows > 0)
     lane = jnp.argmax(hit, axis=1).astype(jnp.int32)
 
-    vals = g[:, b + 5 :].reshape(capacity, value_terms, b, c)
-    vals = jnp.sum(vals, axis=1)  # recombine split terms: [S, B, C]
+    vals = g[:, b + 5 :].reshape(capacity, c, value_terms, b)
+    vals = jnp.sum(vals, axis=2)  # recombine split terms: [S, C, B]
     lane_oh = hit.astype(jnp.float32)  # exactly one True per real slot
-    values = jnp.sum(vals * lane_oh[:, :, None], axis=1)  # [S, C]
+    values = jnp.sum(vals * lane_oh[:, None, :], axis=2)  # [S, C]
     return blk * b + lane, num, values

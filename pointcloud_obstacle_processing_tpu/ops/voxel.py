@@ -115,7 +115,7 @@ def _dense_bins_to_partials(
     bins, occ2d, dims, imin, capacity: int, leaf_size: float,
     corner_relative: bool, value_terms: int = 2,
 ) -> VoxelPartials:
-    """Dense [K, 4] (sum_xyz, count) bins -> compacted VoxelPartials.
+    """Dense channel-leading [4, K] (sum_xyz, count) bins -> VoxelPartials.
 
     ``occ2d`` is the [A, B] occupancy block view of the same bins; output
     slots are the first ``capacity`` occupied bins in ascending packed order
@@ -230,16 +230,16 @@ def voxel_partials(
             upd = jnp.concatenate([off, w[:, None]], axis=-1)
             blocks, ha, hb = weighted_histogram_blocks(
                 packed, upd, valid, K, exact_f32=(sum_precision == "exact")
-            )
+            )  # channel-leading [4, A, B]
             # flatten to 128-lane blocks for the compaction: its lane-axis
             # cumsum/argmax passes scale with the block width, and 128 lanes
             # measured ~6x cheaper than the [A, 736]-shaped block form
-            bins = blocks.reshape(ha * hb, 4)
+            bins = blocks.reshape(4, ha * hb)
             kp = -(-(ha * hb) // 128) * 128
             if kp != ha * hb:
-                bins = jnp.pad(bins, ((0, kp - ha * hb), (0, 0)))
+                bins = jnp.pad(bins, ((0, 0), (0, kp - ha * hb)))
             # padded bins (>= K) have zero counts and are never occupied
-            occ2d = (bins[:, 3] > 0.0).reshape(kp // 128, 128)
+            occ2d = (bins[3] > 0.0).reshape(kp // 128, 128)
             corner_relative = True
         else:
             # scatter path: one fused [K, 4] scatter-add (serialized per
@@ -252,8 +252,10 @@ def voxel_partials(
             off = jnp.where(valid[:, None], pts - corner, 0.0)
             upd = jnp.concatenate([off, w[:, None]], axis=-1)
             kp = -(-K // 128) * 128
-            bins = jnp.zeros((kp, 4), jnp.float32).at[packed].add(upd, mode="drop")
-            occ2d = (bins[:, 3] > 0.0).reshape(kp // 128, 128)
+            bins = jnp.zeros((kp, 4), jnp.float32).at[packed].add(
+                upd, mode="drop"
+            ).T  # -> channel-leading [4, Kp]
+            occ2d = (bins[3] > 0.0).reshape(kp // 128, 128)
             corner_relative = True
 
         return _dense_bins_to_partials(
@@ -308,8 +310,10 @@ def merge_voxel_partials(
             axis=-1,
         )
         kp = -(-K // 128) * 128
-        bins = jnp.zeros((kp, 4), jnp.float32).at[packed].add(upd, mode="drop")
-        occ2d = (bins[:, 3] > 0.0).reshape(kp // 128, 128)
+        bins = jnp.zeros((kp, 4), jnp.float32).at[packed].add(
+            upd, mode="drop"
+        ).T  # -> channel-leading [4, Kp]
+        occ2d = (bins[3] > 0.0).reshape(kp // 128, 128)
         return _dense_bins_to_partials(
             bins, occ2d, dims, imin, capacity, leaf_size, corner_relative=True,
             value_terms=3,

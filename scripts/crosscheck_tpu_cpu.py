@@ -29,6 +29,7 @@ from pointcloud_obstacle_processing_tpu.utils.scene import SceneSpec, make_scene
 cfg = REFERENCE_YAML_CONFIG.replace(
     max_points=32768, max_voxels=16384, cluster_capacity=2048,
     max_clusters=16, downsample_leaf_size=0.06,
+    knn_backend="banded",  # the bench configuration's kNN path
 )
 scene = make_scene(seed=77, spec=SceneSpec(n_ground=20000, n_rocks=3, points_per_rock=1000, n_noise=100))
 r = jit_pipeline(cfg)(Cloud.pad_to(scene.points, cfg.max_points), jax.random.PRNGKey(5))
@@ -54,6 +55,7 @@ def main():
     cfg = REFERENCE_YAML_CONFIG.replace(
         max_points=32768, max_voxels=16384, cluster_capacity=2048,
         max_clusters=16, downsample_leaf_size=0.06,
+        knn_backend="banded",  # the bench configuration's kNN path
     )
     scene = make_scene(
         seed=77, spec=SceneSpec(n_ground=20000, n_rocks=3, points_per_rock=1000, n_noise=100)
