@@ -318,6 +318,60 @@ def main():
     baseline_configs["6_fullscale_0015_window_ms"] = round(t_window * 1e3, 1)
     baseline_configs["6_fullscale_0015_frames_per_s"] = round(frames_per_s, 1)
 
+    # ---- node-level cycle rate (accumulate -> publish, end to end) ---------
+    # The full host runtime: synthetic kinect frames through the bus, native
+    # decode, per-frame async device_put (accumulate_on_device), async
+    # dispatch, publish.  Single-stream and therefore LATENCY-bound: every
+    # cycle pays one tunnel RPC (~26 ms) that the batched/pipelined
+    # throughput numbers amortize — on directly-attached hardware the
+    # node/device gap closes to the publish cost.
+
+    # host-accumulate + async dispatch: through the tunnel each eager device
+    # op is a full RPC and bulk uploads run ~3 MB/s, so the node cycle is
+    # upload/fetch-bound here (compute is ~4.5 ms of it); per-frame
+    # device_put (accumulate_on_device) is the right mode on attached
+    # hardware but pays per-frame RPCs through a tunnel.
+    from pointcloud_obstacle_processing_tpu.runtime.bus import MessageBus
+    from pointcloud_obstacle_processing_tpu.runtime.driver import (
+        ObstacleDetectionNode,
+        POINT_TOPIC,
+    )
+    from pointcloud_obstacle_processing_tpu.runtime.launch import (
+        DEFAULT_SENSOR_POS,
+        DEFAULT_SENSOR_QUAT,
+        SyntheticKinect,
+    )
+    from pointcloud_obstacle_processing_tpu.runtime.tf import TransformBuffer
+
+    ncfg = cfg.replace(accumulate_count=16, publish_point_clouds=False)
+    bus = MessageBus(immediate=True)
+    tfb = TransformBuffer()
+    tfb.set_static("world", "kinect2_link", DEFAULT_SENSOR_QUAT, DEFAULT_SENSOR_POS)
+    node = ObstacleDetectionNode(ncfg, bus=bus, tf_buffer=tfb, async_pipeline=True)
+    kin = SyntheticKinect(
+        bus.advertise(POINT_TOPIC),
+        tfb.lookup_transform("world", "kinect2_link"),
+        points_per_frame=8192,
+    )
+    for _ in range(2 * 17):  # two warmup windows incl. compile
+        kin.emit_frame()
+    node.flush()
+    cyc = 6
+    t0 = time.perf_counter()
+    for _ in range(cyc * 17):
+        kin.emit_frame()
+    node.flush()
+    wall = time.perf_counter() - t0
+    windows_per_s = cyc / wall
+    log(
+        f"node end-to-end: {windows_per_s:.2f} windows/s "
+        f"({cyc * 16 / wall:.0f} frames/s; {wall/cyc*1e3:.1f} ms/cycle "
+        f"accumulate->publish — tunnel upload/fetch bound, "
+        f"~{1e3*(wall/cyc) - t_single_device*1e3:.0f} ms of it is transfer/RPC)"
+    )
+    baseline_configs["7_node_windows_per_s"] = round(windows_per_s, 2)
+    baseline_configs["7_node_frames_per_s"] = round(cyc * 16 / wall, 1)
+
     print(
         json.dumps(
             {

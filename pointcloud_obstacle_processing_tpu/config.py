@@ -67,11 +67,12 @@ class PipelineConfig:
     # ---- downsampling (cpp:943, :964) --------------------------------------
     downsample_input_data: bool = True
     downsample_leaf_size: float = 0.015
-    # Voxel centroid sum precision on the MXU path: "fast" carries the
-    # voxel-corner-relative offsets as single bf16 terms (max centroid error
-    # leaf * 2^-9 ~ 8e-5 m at leaf 0.04 — far below sensor noise; counts stay
-    # exact either way); "exact" doubles the matmuls for a two-term split
-    # (~3e-7 m).
+    # Voxel centroid sum precision on the dense-bin paths: "fast" carries
+    # the voxel-corner-relative offsets (binning) and corner-relative
+    # centroids (slot gather) as single bf16 terms — max centroid error
+    # leaf * 2^-8 ~ 1.6e-4 m at leaf 0.04, far below sensor noise; counts
+    # stay exact either way.  "exact" uses multi-term bf16 splits
+    # (~leaf * 2^-24, f32-ulp level) at ~2x the binning/gather matmul cost.
     voxel_sum_precision: str = "fast"
 
     # ---- passthrough (cpp:944; dead code path :298-314) --------------------

@@ -241,7 +241,7 @@ def compact_occupied_blocks(occupied: jax.Array, capacity: int):
 
 
 def compact_and_gather_blocks(
-    bins: jax.Array, occ2d: jax.Array, capacity: int, value_terms: int = 2
+    bins: jax.Array, occ2d: jax.Array, capacity: int, value_terms=2
 ):
     """Compaction + per-slot bin VALUES fetched in the same one-hot matmul.
 
@@ -253,16 +253,22 @@ def compact_and_gather_blocks(
     instead of a serialized XLA row gather (measured ~12 ms/batch-of-32 at
     S=16k, A*B=235k on v5e).
 
-    ``value_terms``: bf16 split terms per value column.  Gathering through
-    a bf16 matmul would truncate values; splitting v = t0 + t1 (+ t2) into
-    bf16 terms and summing the separately-gathered terms bounds the error
-    at |v| * 2^-16 (2 terms) / |v| * 2^-24 (3 terms, ~f32 ulp).  Integers
-    below 2^17 (e.g. counts) are recovered EXACTLY by 2 terms: bf16
-    rounding of such an integer leaves an integer residual <= 2^8, itself
-    exactly representable.
+    ``value_terms``: bf16 split terms per value channel — an int (same for
+    every channel) or a per-channel sequence.  Gathering through a bf16
+    matmul would truncate values; splitting v = t0 + t1 (+ t2) into bf16
+    terms and summing the separately-gathered terms bounds the error at
+    |v| * 2^-9 (1 term) / 2^-16 (2 terms) / 2^-24 (3 terms, ~f32 ulp).
+    Integers below 2^17 (e.g. counts) are recovered EXACTLY by 2 terms:
+    bf16 rounding of such an integer leaves an integer residual <= 2^8,
+    itself exactly representable.  The dot's cost scales with the TOTAL
+    term count (~3.4 ms/batch-of-32 per 128-column block at S=16k,
+    A=1840 on v5e) — callers pick per-channel precision accordingly.
     """
     a, b = occ2d.shape
     c = bins.shape[0]
+    terms_per_channel = (
+        [value_terms] * c if isinstance(value_terms, int) else list(value_terms)
+    )
     if a > _COMPACT_MXU_MAX_BLOCKS:
         loc, num = _compact_blocks_legacy(occ2d, capacity)
         # per-channel 1-D gathers (a [K, C] transpose would lane-pad C->128)
@@ -288,7 +294,7 @@ def compact_and_gather_blocks(
     terms = []
     for ci in range(c):
         resid = bins[ci].reshape(a, b)
-        for _ in range(value_terms):
+        for _ in range(terms_per_channel[ci]):
             t = resid.astype(jnp.bfloat16)
             terms.append(t)
             resid = resid - t.astype(jnp.float32)
@@ -322,8 +328,13 @@ def compact_and_gather_blocks(
     hit = (local == tgt) & (rows > 0)
     lane = jnp.argmax(hit, axis=1).astype(jnp.int32)
 
-    vals = g[:, b + 5 :].reshape(capacity, c, value_terms, b)
-    vals = jnp.sum(vals, axis=2)  # recombine split terms: [S, C, B]
     lane_oh = hit.astype(jnp.float32)  # exactly one True per real slot
-    values = jnp.sum(vals * lane_oh[:, None, :], axis=2)  # [S, C]
+    pos = b + 5
+    vals = []
+    for ci in range(c):
+        t = terms_per_channel[ci]
+        seg = jnp.sum(g[:, pos : pos + t * b].reshape(capacity, t, b), axis=1)
+        vals.append(jnp.sum(seg * lane_oh, axis=1))
+        pos += t * b
+    values = jnp.stack(vals, axis=-1)  # [S, C]
     return blk * b + lane, num, values

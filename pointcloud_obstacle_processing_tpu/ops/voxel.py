@@ -119,18 +119,33 @@ def _dense_bins_to_partials(
 
     ``occ2d`` is the [A, B] occupancy block view of the same bins; output
     slots are the first ``capacity`` occupied bins in ascending packed order
-    (= ascending (ix, iy, iz)).  The per-slot values ride the compaction's
-    one-hot matmul (compact_and_gather_blocks): counts stay exact (integer
-    < 2^17 under 2-term bf16 split); corner-relative sums carry error
-    <= count*leaf*2^-16 at 2 terms / 2^-24 at 3 terms ("exact" mode).
+    (= ascending (ix, iy, iz)).
+
+    The per-slot values ride the compaction's one-hot matmul
+    (compact_and_gather_blocks), whose cost scales with the bf16 split-term
+    count — so instead of gathering 2-term SUMS (unbounded magnitude), the
+    sums are pre-divided into corner-relative CENTROIDS densely (a cheap
+    [3, K] divide): centroid values live in [0, leaf), where a single bf16
+    term already bounds the absolute error at leaf * 2^-9 — the same order
+    as the fast binning mode's own offset quantization.  Counts always use
+    2 terms (exact for integers < 2^17).  ``value_terms`` sets the centroid
+    channels' terms: 1 = fast, 3 = "exact" (error leaf * 2^-24).
     """
     from .mxu_histogram import compact_and_gather_blocks
+
+    counts_dense = bins[3]
+    if corner_relative:
+        cent_rel = bins[:3] / jnp.maximum(counts_dense, 1.0)[None, :]
+        gbins = jnp.concatenate([cent_rel, counts_dense[None, :]], axis=0)
+    else:
+        gbins = bins
 
     # block-structured stream compaction of the occupied bins + fused value
     # gather: several ms cheaper than a flat K-wide cumsum + searchsorted,
     # and no serialized bins[loc] row gather
     loc, num, slot_vals = compact_and_gather_blocks(
-        bins, occ2d, capacity, value_terms
+        gbins, occ2d, capacity,
+        [value_terms, value_terms, value_terms, 2],
     )
     target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1
     out_valid = target - 1 < jnp.minimum(num, capacity)
@@ -146,14 +161,16 @@ def _dense_bins_to_partials(
         _I32_MAX,
     )
     slot_counts = slot_vals[:, 3]
-    slot_sums = slot_vals[:, :3]
     if corner_relative:
-        # restore absolute sums: sum(p) = corner*count + sum(p - corner)
+        # values are corner-relative centroids: reconstruct the sums
+        # contract sum(p) = (centroid_rel + corner) * count
         slot_corner = (
             jnp.stack([lx, ly, lz], axis=-1).astype(jnp.float32)
             * jnp.float32(leaf_size)
         )
-        slot_sums = slot_sums + slot_corner * slot_counts[:, None]
+        slot_sums = (slot_vals[:, :3] + slot_corner) * slot_counts[:, None]
+    else:
+        slot_sums = slot_vals[:, :3]
     return VoxelPartials(
         keys=keys,
         sums=jnp.where(out_valid[:, None], slot_sums, 0.0),
@@ -260,7 +277,7 @@ def voxel_partials(
 
         return _dense_bins_to_partials(
             bins, occ2d, dims, imin, capacity, leaf_size, corner_relative,
-            value_terms=3 if sum_precision == "exact" else 2,
+            value_terms=3 if sum_precision == "exact" else 1,
         )
 
     kx = jnp.where(valid, ijk[:, 0], _I32_MAX)

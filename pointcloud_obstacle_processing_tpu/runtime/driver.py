@@ -28,7 +28,6 @@ import numpy as np
 
 from ..config import PipelineConfig
 from ..native import ScanAccumulator
-from ..ops.transforms import quat_to_matrix
 from ..pipeline import jit_pipeline
 from ..types import Cloud
 from .bus import MessageBus
@@ -46,6 +45,22 @@ POINT_TOPIC = "/kinect2/qhd/points"
 log = logging.getLogger("pointcloud_obstacle_processing_tpu")
 
 
+def _quat_to_matrix_np(q: np.ndarray) -> np.ndarray:
+    """Host-side xyzw quaternion -> 3x3 rotation (NumPy twin of
+    ops.transforms.quat_to_matrix).  The per-frame accumulation path must
+    not touch JAX: each eager device op is a full RPC on a tunneled TPU."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q)
+    x, y, z, w = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
 class ObstacleDetectionNode:
     def __init__(
         self,
@@ -58,12 +73,21 @@ class ObstacleDetectionNode:
         seed: int = 0,
         force_numpy_accumulator: bool = False,
         async_pipeline: bool = False,
+        accumulate_on_device: bool = False,
     ):
         """``async_pipeline``: double-buffered mode — window k is dispatched
         to the device without blocking and window k-1's results are fetched
         and published instead, overlapping device compute with the host's
         accumulation of the next window (one-window publish latency).  Call
-        :meth:`flush` to drain the final pending window."""
+        :meth:`flush` to drain the final pending window.
+
+        ``accumulate_on_device``: upload each frame as it arrives (an async
+        ``jax.device_put`` that overlaps the sensor cadence) and run the
+        sensor->world transform + accumulation ON DEVICE via
+        ``process_frames`` — no bulk window upload sits on the critical
+        path between windows.  Requires ``config.max_points`` divisible by
+        ``config.accumulate_count`` (fixed per-frame capacity); frames
+        larger than that capacity are truncated."""
         config.validate()
         self.config = config
         self.bus = bus or MessageBus(immediate=True)
@@ -77,6 +101,23 @@ class ObstacleDetectionNode:
         self._key = jax.random.PRNGKey(seed)
         self._cycle = 0
         self._frames = 0
+        self.accumulate_on_device = accumulate_on_device
+        if accumulate_on_device:
+            if config.max_points % config.accumulate_count:
+                raise ValueError(
+                    "accumulate_on_device needs max_points divisible by "
+                    f"accumulate_count ({config.max_points} % "
+                    f"{config.accumulate_count} != 0)"
+                )
+            self._frame_capacity = config.max_points // config.accumulate_count
+            self._device_frames: list = []  # (points, valid) device arrays
+            self._frame_poses: list = []  # (quat, trans) per frame
+            from ..pipeline import process_frames
+            from functools import partial
+
+            self._frames_pipeline = jax.jit(
+                partial(process_frames, config=config)
+            )
         self.accumulator = ScanAccumulator(
             config.max_points, force_numpy=force_numpy_accumulator
         )
@@ -103,18 +144,45 @@ class ObstacleDetectionNode:
         here: the frame that triggers processing is *not* accumulated
         (cpp:691-699 else-branch)."""
         if self._frames < self.config.accumulate_count:
-            tf = self.tf.lookup_transform(self.world_frame, self.sensor_frame)
-            R = np.asarray(quat_to_matrix(tf.quat_xyzw))
-            t = np.asarray(tf.translation)
-            # full wire layout: organized clouds (height x width, row
-            # padding) and arbitrary field offsets decode natively
-            self.accumulator.append_cloud2_organized(
-                msg.data, msg.height, msg.width, msg.row_step,
-                msg.point_step, msg.off_x, msg.off_y, msg.off_z, R, t,
-            )
+            # host-side (NumPy) tf lookup: NO eager device ops per frame
+            q, t = self.tf.lookup_quat_trans(self.world_frame, self.sensor_frame)
+            if self.accumulate_on_device:
+                self._append_frame_device(msg, q, t)
+            else:
+                R = _quat_to_matrix_np(q)
+                # full wire layout: organized clouds (height x width, row
+                # padding) and arbitrary field offsets decode natively
+                self.accumulator.append_cloud2_organized(
+                    msg.data, msg.height, msg.width, msg.row_step,
+                    msg.point_step, msg.off_x, msg.off_y, msg.off_z, R, t,
+                )
             self._frames += 1
         else:
             self.process_window()
+
+    def _append_frame_device(self, msg: PointCloud2Msg, q, t) -> None:
+        """Decode + pad one frame and start its async upload NOW — the
+        transfer overlaps the sensor cadence instead of a bulk window
+        upload sitting between windows (the sensor->world transform runs
+        on device inside process_frames)."""
+        from ..native import decode_cloud2_organized
+
+        F = self._frame_capacity
+        xyz = decode_cloud2_organized(
+            msg.data, msg.height, msg.width, msg.row_step,
+            msg.point_step, msg.off_x, msg.off_y, msg.off_z,
+        )[:F]
+        buf = np.zeros((F, 3), np.float32)
+        buf[: len(xyz)] = xyz
+        valid = np.zeros(F, bool)
+        valid[: len(xyz)] = True
+        # device_put returns immediately; the DMA proceeds in background
+        self._device_frames.append(
+            (jax.device_put(buf), jax.device_put(valid))
+        )
+        self._frame_poses.append(
+            (np.asarray(q, np.float32), np.asarray(t, np.float32))
+        )
 
     # ------------------------------------------------------------- pipeline
     def process_window(self):
@@ -125,15 +193,46 @@ class ObstacleDetectionNode:
         instead, so the device crunches window k while the host accumulates
         window k+1."""
         cfg = self.config
-        pts, valid = self.accumulator.snapshot()
-        cloud = Cloud(points=jax.numpy.asarray(pts), valid=jax.numpy.asarray(valid))
         key = jax.random.fold_in(self._key, self._cycle)
         sensor_pose = self.tf.lookup_transform(self.world_frame, self.sensor_frame)
 
-        result = self._pipeline(cloud, key, world_from_sensor=sensor_pose)
+        if self.accumulate_on_device:
+            import jax.numpy as jnp
+
+            from ..ops.transforms import RigidTransform
+
+            A = cfg.accumulate_count
+            frames = self._device_frames
+            # a short window (flush before full) pads with empty frames
+            while len(frames) < A:
+                frames.append(
+                    (
+                        jnp.zeros((self._frame_capacity, 3), jnp.float32),
+                        jnp.zeros(self._frame_capacity, bool),
+                    )
+                )
+                self._frame_poses.append(
+                    (np.zeros(4, np.float32) + [0, 0, 0, 1], np.zeros(3, np.float32))
+                )
+            pts = jnp.stack([f[0] for f in frames[:A]])
+            valid = jnp.stack([f[1] for f in frames[:A]])
+            poses = RigidTransform(
+                quat_xyzw=jnp.asarray(np.stack([p[0] for p in self._frame_poses[:A]])),
+                translation=jnp.asarray(np.stack([p[1] for p in self._frame_poses[:A]])),
+            )
+            result = self._frames_pipeline(
+                pts, valid, key, world_from_sensor_per_frame=poses,
+                shadow_sensor_pose=sensor_pose,
+            )
+            self._device_frames = []
+            self._frame_poses = []
+        else:
+            pts, valid = self.accumulator.snapshot()
+            cloud = Cloud(points=jax.numpy.asarray(pts), valid=jax.numpy.asarray(valid))
+            result = self._pipeline(cloud, key, world_from_sensor=sensor_pose)
+            self.accumulator.clear()
         self._cycle += 1
         self._frames = 0
-        self.accumulator.clear()
 
         if self.async_pipeline:
             prev, self._pending = self._pending, (result, self._cycle)

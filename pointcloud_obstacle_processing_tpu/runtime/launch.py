@@ -72,6 +72,8 @@ def launch(
     points_per_frame: int = 10_000,
     accumulate_count: int | None = None,
     force_numpy_accumulator: bool = False,
+    async_pipeline: bool = False,
+    accumulate_on_device: bool = False,
 ):
     """Boot the node + synthetic sensor; run ``cycles`` full windows."""
     if config is None:
@@ -94,6 +96,8 @@ def launch(
     node = ObstacleDetectionNode(
         config, bus=bus, tf_buffer=tf,
         force_numpy_accumulator=force_numpy_accumulator,
+        async_pipeline=async_pipeline,
+        accumulate_on_device=accumulate_on_device,
     )
     kinect = SyntheticKinect(
         bus.advertise(POINT_TOPIC),

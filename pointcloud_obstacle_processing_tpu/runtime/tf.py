@@ -82,9 +82,13 @@ class TransformBuffer:
             frame = parent
         return frame, q, t
 
-    def lookup_transform(self, target: str, source: str) -> RigidTransform:
-        """Transform mapping source-frame points into target frame
-        (tfBuffer.lookupTransform(target, source) semantics)."""
+    def lookup_quat_trans(self, target: str, source: str):
+        """Host-side lookup: (quat_xyzw, translation) as float64 NumPy.
+
+        The hot accumulation path (one lookup per sensor frame) must stay
+        off the device — building jnp arrays here would dispatch eager
+        device ops per frame (each one a full RPC through a remote-TPU
+        tunnel)."""
         root_s, qs, ts = self._chain_to_root(source)
         root_t, qt, tt = self._chain_to_root(target)
         if root_s != root_t:
@@ -93,6 +97,12 @@ class TransformBuffer:
         qt_inv = qt * np.array([-1.0, -1.0, -1.0, 1.0])
         q = _quat_mul(qt_inv, qs)
         t = _quat_rot(qt_inv, ts - tt)
+        return q, t
+
+    def lookup_transform(self, target: str, source: str) -> RigidTransform:
+        """Transform mapping source-frame points into target frame
+        (tfBuffer.lookupTransform(target, source) semantics)."""
+        q, t = self.lookup_quat_trans(target, source)
         return RigidTransform.from_quat_trans(q, t)
 
     def can_transform(self, target: str, source: str) -> bool:

@@ -70,3 +70,71 @@ def test_async_lags_by_one_window():
     assert node.pub_occupancy.n_published == 1
     node.flush()
     assert node.pub_occupancy.n_published == 2
+
+
+def test_device_accumulation_matches_host():
+    """accumulate_on_device=True: per-frame async uploads + on-device
+    transform/accumulation (process_frames) must reproduce the host
+    accumulator's pipeline output (VERDICT r1 next #6)."""
+    import numpy as np
+
+    from pointcloud_obstacle_processing_tpu.config import REFERENCE_YAML_CONFIG
+    from pointcloud_obstacle_processing_tpu.runtime.bus import MessageBus
+    from pointcloud_obstacle_processing_tpu.runtime.driver import (
+        ObstacleDetectionNode,
+        POINT_TOPIC,
+    )
+    from pointcloud_obstacle_processing_tpu.runtime.msgs import PointCloud2Msg
+    from pointcloud_obstacle_processing_tpu.runtime.tf import TransformBuffer
+
+    cfg = REFERENCE_YAML_CONFIG.replace(
+        accumulate_count=4, max_points=16384, max_voxels=2048,
+        cluster_capacity=512, max_clusters=8, downsample_leaf_size=0.08,
+    )
+    from pointcloud_obstacle_processing_tpu.utils.scene import SceneSpec, make_scene
+
+    scene = make_scene(
+        seed=9, spec=SceneSpec(n_ground=10000, n_rocks=3, points_per_rock=600, n_noise=50)
+    )
+    rng = np.random.default_rng(3)
+    frames = [
+        scene.points[rng.integers(0, len(scene.points), 3000)].astype(np.float32)
+        for _ in range(5)
+    ]
+
+    results = {}
+    for device_mode in (False, True):
+        bus = MessageBus(immediate=True)
+        tf = TransformBuffer()
+        # non-trivial static pose: the device path must transform per frame
+        tf.set_static("world", "kinect2_link", (0.0, 0.0, 0.383, 0.924), (0.1, -0.2, 0.05))
+        node = ObstacleDetectionNode(
+            cfg, bus=bus, tf_buffer=tf, accumulate_on_device=device_mode,
+        )
+        pub = bus.advertise(POINT_TOPIC)
+        inv = tf.lookup_transform("kinect2_link", "world")
+        for i, f in enumerate(frames):
+            # frames arrive in the SENSOR frame (like the kinect)
+            import jax.numpy as jnp
+
+            from pointcloud_obstacle_processing_tpu.ops.transforms import RigidTransform
+
+            sensor_pts = np.asarray(
+                RigidTransform.from_quat_trans(inv.quat_xyzw, inv.translation).apply(
+                    jnp.asarray(f)
+                )
+            )
+            pub.publish(PointCloud2Msg.from_xyz(sensor_pts, seq=i))
+        assert node.last_result is not None
+        results[device_mode] = node
+
+    a, b = results[False], results[True]
+    ma, mb = a.metrics[-1], b.metrics[-1]
+    assert ma["accumulated_points"] == mb["accumulated_points"] == 4 * 3000
+    # host transform (C++ R@p+t) and device transform (quat_rotate) differ in
+    # f32 rounding: allow threshold-boundary wiggle in the counts
+    assert abs(ma["cropped_points"] - mb["cropped_points"]) <= 0.002 * ma["accumulated_points"]
+    assert abs(ma["voxel_points"] - mb["voxel_points"]) <= 0.005 * ma["voxel_points"] + 10
+    ga = np.asarray(a.last_result.grid.data)
+    gb = np.asarray(b.last_result.grid.data)
+    assert np.mean(ga != gb) < 0.02  # two f32 transform impls differ in rounding
