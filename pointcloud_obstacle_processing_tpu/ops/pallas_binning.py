@@ -11,6 +11,11 @@ VPU rate almost exactly.  Conclusion: Mosaic lowers these one-hot dots to
 the VPU, not the MXU, on this toolchain.  The pipeline keeps the XLA paths;
 revisit when Mosaic dot lowering can be steered onto the MXU.
 
+Where Pallas DID pay off (round 2): workloads that are elementwise/VPU
+anyway but whose XLA form materializes [T, C] tiles in HBM — the fused
+cluster sweep kernel in ops/cluster.py (_pallas_sweep_jump) runs 3.3x the
+XLA tiles.  Use that as the template, not this file.
+
 The pipeline's two binning stages — the occupancy histogram
 (obstacle_detection.cpp:195-215) and VoxelGrid binning (cpp:282-285) — are
 scatter-adds, which XLA serializes on TPU (~20+ cycles/update: ~3 ms for a

@@ -34,7 +34,37 @@ from jax import lax
 from ..config import PipelineConfig
 from ..types import Cloud, PlaneModel
 
-__all__ = ["ransac_plane_once", "segment_planes", "PlaneOnceResult", "SegmentPlanesResult"]
+__all__ = [
+    "ransac_plane_once",
+    "segment_planes",
+    "hypotheses_for_confidence",
+    "PlaneOnceResult",
+    "SegmentPlanesResult",
+]
+
+
+def hypotheses_for_confidence(
+    inlier_fraction: float, confidence: float = 0.99, multiple_of: int = 64
+) -> int:
+    """Batch size K equivalent to PCL's adaptive RANSAC iteration count.
+
+    PCL's SAC_RANSAC runs sequential hypotheses until
+    ``k = log(1 - confidence) / log(1 - w^3)`` draws have been made (w =
+    current inlier fraction; RandomSampleConsensus::computeModel) or
+    ``setMaxIterations`` is hit.  The TPU design scores all hypotheses in
+    one batched matmul instead, so PCL's stopping rule becomes a STATIC
+    batch-size choice: size ``ransac_hypotheses`` with the worst inlier
+    fraction the deployment must handle.  The shipped default K=128 covers
+    w >= 0.33 at 99% confidence; low-inlier scenes (w ~ 0.15) need K ~ 1350
+    (see tests/test_ransac.py::test_low_inlier_fraction_matches_sequential_oracle).
+    """
+    import math
+
+    w3 = max(min(inlier_fraction, 1.0), 1e-6) ** 3
+    if w3 >= 1.0:
+        return multiple_of
+    k = math.log(max(1.0 - confidence, 1e-12)) / math.log(1.0 - w3)
+    return max(multiple_of, int(math.ceil(k / multiple_of)) * multiple_of)
 
 
 def _smallest_eigvec_3x3(cov: jax.Array, init: jax.Array, iters: int = 24) -> jax.Array:

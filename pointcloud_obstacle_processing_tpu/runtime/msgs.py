@@ -261,6 +261,34 @@ class OccupancyGridMsg:
     origin_position: tuple = (0.0, 0.0, 0.0)
     origin_orientation_xyzw: tuple = (0.0, 0.0, 0.707, 0.707)
 
+    def serialize(self) -> bytes:
+        fid = self.header.frame_id.encode()
+        head = struct.pack(
+            "<4sBdqHfii3d4d",
+            b"PCOG", 1, self.header.stamp, self.header.seq, len(fid),
+            self.resolution, self.width, self.height,
+            *self.origin_position, *self.origin_orientation_xyzw,
+        )
+        return head + fid + np.asarray(self.data, np.int8).tobytes()
+
+    @classmethod
+    def deserialize(cls, buf: bytes) -> "OccupancyGridMsg":
+        fmt = "<4sBdqHfii3d4d"
+        size = struct.calcsize(fmt)
+        vals = struct.unpack(fmt, buf[:size])
+        magic, ver, stamp, seq, fl, res, w, h = vals[:8]
+        pos = tuple(vals[8:11])
+        quat = tuple(vals[11:15])
+        if magic != b"PCOG":
+            raise ValueError("bad magic")
+        fid = buf[size : size + fl].decode()
+        data = np.frombuffer(buf[size + fl :], np.int8)[: h * w]
+        return cls(
+            header=Header(frame_id=fid, stamp=stamp, seq=seq),
+            resolution=res, width=w, height=h, data=data,
+            origin_position=pos, origin_orientation_xyzw=quat,
+        )
+
 
 @dataclasses.dataclass
 class PointWithRadMsg:
@@ -283,6 +311,31 @@ class PointIndicesArrayMsg:
     def from_array(cls, xyzr: np.ndarray, valid: np.ndarray, seq: int = 0):
         pts = [PointWithRadMsg(*row) for row in np.asarray(xyzr)[np.asarray(valid)]]
         return cls(header=Header.now("world", seq), points=pts)
+
+    def serialize(self) -> bytes:
+        fid = self.header.frame_id.encode()
+        head = struct.pack(
+            "<4sBdqHI", b"PCIA", 1, self.header.stamp, self.header.seq,
+            len(fid), len(self.points),
+        )
+        rows = np.array(
+            [[p.x, p.y, p.z, p.r] for p in self.points], np.float32
+        ).reshape(len(self.points), 4)
+        return head + fid + rows.tobytes()
+
+    @classmethod
+    def deserialize(cls, buf: bytes) -> "PointIndicesArrayMsg":
+        fmt = "<4sBdqHI"
+        size = struct.calcsize(fmt)
+        magic, ver, stamp, seq, fl, n = struct.unpack(fmt, buf[:size])
+        if magic != b"PCIA":
+            raise ValueError("bad magic")
+        fid = buf[size : size + fl].decode()
+        rows = np.frombuffer(buf[size + fl :], np.float32).reshape(-1, 4)[:n]
+        return cls(
+            header=Header(frame_id=fid, stamp=stamp, seq=seq),
+            points=[PointWithRadMsg(*map(float, r)) for r in rows],
+        )
 
 
 @dataclasses.dataclass

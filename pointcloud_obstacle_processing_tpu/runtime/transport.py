@@ -1,0 +1,206 @@
+"""Cross-process topic transport (the TCPROS equivalent of SURVEY.md L4).
+
+The reference node interoperates with other OS processes (kinect2_bridge,
+the nav stack, RViz) over ROS's TCPROS: a publisher accepts TCP connections
+and streams length-prefixed serialized messages per topic
+(obstacle_detection.cpp:1001-1011 advertise/subscribe surface).  The
+in-process ``MessageBus`` covers the intra-node graph; this module bridges
+buses ACROSS processes with the same drop-oldest queue semantics:
+
+* :class:`BusServer` — "advertise over TCP": accepts connections, reads the
+  client's topic subscription list, then forwards every matching local-bus
+  publication as a framed message.  Slow subscribers never stall the node:
+  each connection has a bounded drop-oldest queue (ROS queue_size
+  semantics) drained by its own writer thread.
+* :func:`connect_bus` — "subscribe over TCP": connects to a BusServer,
+  requests topics, and republishes the received messages on a local bus.
+
+Wire format: per message a fixed frame header
+``[u32 magic 'PCPB'][u16 type][u16 topic_len][u64 payload_len]`` followed
+by the UTF-8 topic name and the message's own ``serialize()`` payload.
+Message types carry their own versioned binary codecs (runtime/msgs.py) —
+no pickle on the wire.
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import struct
+import threading
+from typing import Iterable
+
+from .bus import MessageBus
+from .msgs import OccupancyGridMsg, PointCloud2Msg, PointIndicesArrayMsg
+
+__all__ = ["BusServer", "connect_bus", "FRAME_MAGIC"]
+
+FRAME_MAGIC = b"PCPB"
+_HEADER = "<4sHHQ"
+_HEADER_SIZE = struct.calcsize(_HEADER)
+
+# type id <-> codec (stable wire contract; extend by appending)
+_TYPES = {
+    1: PointCloud2Msg,
+    2: OccupancyGridMsg,
+    3: PointIndicesArrayMsg,
+}
+_TYPE_IDS = {cls: tid for tid, cls in _TYPES.items()}
+
+
+def _frame(topic: str, msg) -> bytes:
+    tid = _TYPE_IDS.get(type(msg))
+    if tid is None:
+        raise TypeError(f"{type(msg).__name__} has no wire codec")
+    t = topic.encode()
+    payload = msg.serialize()
+    return struct.pack(_HEADER, FRAME_MAGIC, tid, len(t), len(payload)) + t + payload
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("socket closed")
+        buf += chunk
+    return buf
+
+
+def _read_frame(sock: socket.socket):
+    head = _read_exact(sock, _HEADER_SIZE)
+    magic, tid, tlen, plen = struct.unpack(_HEADER, head)
+    if magic != FRAME_MAGIC:
+        raise ValueError("bad frame magic")
+    topic = _read_exact(sock, tlen).decode()
+    payload = _read_exact(sock, plen)
+    cls = _TYPES.get(tid)
+    if cls is None:
+        raise ValueError(f"unknown wire type id {tid}")
+    return topic, cls.deserialize(payload)
+
+
+class BusServer:
+    """Expose selected local-bus topics to TCP subscribers.
+
+    Equivalent of the reference's advertised topic surface: remote
+    processes connect, send a newline-separated topic list terminated by an
+    empty line, and receive framed messages.  ``queue_size`` bounds each
+    connection's backlog with drop-oldest semantics (ROS publisher queues).
+    """
+
+    def __init__(self, bus: MessageBus, topics: Iterable[str],
+                 host: str = "127.0.0.1", port: int = 0, queue_size: int = 10):
+        self.bus = bus
+        self.topics = list(topics)
+        self.queue_size = queue_size
+        self._srv = socket.create_server((host, port))
+        self.address = self._srv.getsockname()
+        self._stop = threading.Event()
+        self._clients: list = []
+        self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._accept_thread.start()
+
+    # ---------------------------------------------------------------- accept
+    def _accept_loop(self) -> None:
+        self._srv.settimeout(0.2)
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve_client, args=(conn,), daemon=True
+            ).start()
+
+    def _serve_client(self, conn: socket.socket) -> None:
+        try:
+            # subscription request: newline-separated topics, blank line ends
+            req = b""
+            while not req.endswith(b"\n\n"):
+                chunk = conn.recv(4096)
+                if not chunk:
+                    return
+                req += chunk
+            wanted = [t for t in req.decode().split("\n") if t]
+            wanted = [t for t in wanted if t in self.topics] or list(self.topics)
+
+            q: queue.Queue = queue.Queue(maxsize=self.queue_size)
+
+            def enqueue(topic):
+                def cb(msg):
+                    try:
+                        q.put_nowait((topic, msg))
+                    except queue.Full:  # drop-oldest (ROS queue semantics)
+                        try:
+                            q.get_nowait()
+                        except queue.Empty:
+                            pass
+                        q.put_nowait((topic, msg))
+                return cb
+
+            subs = [self.bus.subscribe(t, enqueue(t), queue_size=1) for t in wanted]
+            self._clients.append(conn)
+            conn.sendall(b"ok\n")
+            while not self._stop.is_set():
+                try:
+                    topic, msg = q.get(timeout=0.2)
+                except queue.Empty:
+                    continue
+                conn.sendall(_frame(topic, msg))
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        for c in self._clients:
+            try:
+                c.close()
+            except OSError:
+                pass
+
+
+def connect_bus(bus: MessageBus, host: str, port: int,
+                topics: Iterable[str], daemon: bool = True) -> threading.Thread:
+    """Subscribe a local bus to a remote BusServer's topics.
+
+    Returns the receiver thread; messages arriving on the socket are
+    republished on ``bus`` under their original topic names.
+    """
+    sock = socket.create_connection((host, port))
+    req = "".join(f"{t}\n" for t in topics) + "\n"
+    sock.sendall(req.encode())
+    ack = _read_exact(sock, 3)
+    if ack != b"ok\n":
+        raise ConnectionError(f"bad subscribe ack: {ack!r}")
+    pubs: dict = {}
+
+    def recv_loop():
+        try:
+            while True:
+                topic, msg = _read_frame(sock)
+                if topic not in pubs:
+                    pubs[topic] = bus.advertise(topic)
+                pubs[topic].publish(msg)
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    t = threading.Thread(target=recv_loop, daemon=daemon)
+    t.start()
+    return t

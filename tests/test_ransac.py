@@ -150,3 +150,18 @@ def test_low_inlier_fraction_matches_sequential_oracle(rng):
     got_remaining = np.asarray(seg.nonplane_cloud.valid)[: len(pts)]
     assert got_remaining[:700].mean() < 0.02  # true plane removed
     assert remaining_o[:700].mean() < 0.02  # ... by the oracle too
+
+
+def test_hypotheses_for_confidence_matches_pcl_rule():
+    """K sizing = PCL's adaptive iteration count k = log(1-p)/log(1-w^3)."""
+    from pointcloud_obstacle_processing_tpu.ops.ransac import hypotheses_for_confidence
+    import math
+
+    for w, p in ((0.5, 0.99), (0.33, 0.99), (0.15, 0.99), (0.8, 0.999)):
+        k_pcl = math.log(1 - p) / math.log(1 - w**3)
+        k = hypotheses_for_confidence(w, p)
+        assert k >= k_pcl
+        assert k % 64 == 0
+        assert k <= k_pcl + 64
+    # shipped default covers w >= 0.33 @ 99%
+    assert hypotheses_for_confidence(0.33) <= 128

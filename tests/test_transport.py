@@ -1,0 +1,134 @@
+"""Cross-process transport (TCPROS-equivalent, SURVEY.md L4).
+
+The reference interoperates with other OS processes over TCPROS
+(obstacle_detection.cpp:1001-1011); these tests pin the socket bridge: a
+BusServer exposing node topics, a remote bus subscribing over TCP, framed
+versioned binary codecs (no pickle), and drop-oldest queue semantics.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from pointcloud_obstacle_processing_tpu.runtime.bus import MessageBus
+from pointcloud_obstacle_processing_tpu.runtime.msgs import (
+    Header,
+    OccupancyGridMsg,
+    PointCloud2Msg,
+    PointIndicesArrayMsg,
+    PointWithRadMsg,
+)
+from pointcloud_obstacle_processing_tpu.runtime.transport import (
+    BusServer,
+    connect_bus,
+)
+
+
+def _wait_for(pred, timeout=5.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(0.01)
+    return False
+
+
+def test_grid_and_centroids_roundtrip_over_tcp(rng):
+    pub_bus = MessageBus(immediate=True)
+    sub_bus = MessageBus(immediate=True)
+    srv = BusServer(pub_bus, ["occupancy_grid", "centroids"], port=0)
+    try:
+        connect_bus(sub_bus, srv.address[0], srv.address[1],
+                    ["occupancy_grid", "centroids"])
+        got = {}
+        sub_bus.subscribe("occupancy_grid", lambda m: got.setdefault("grid", m))
+        sub_bus.subscribe("centroids", lambda m: got.setdefault("cent", m))
+        time.sleep(0.2)  # let the server register its local subscriptions
+
+        grid = (rng.integers(0, 3, 120 * 101) * 50).astype(np.int8)
+        gmsg = OccupancyGridMsg(
+            header=Header("world", 12.5, 7), resolution=0.0375,
+            width=101, height=120, data=grid,
+            origin_position=(4.5, 0.0, 0.0),
+            origin_orientation_xyzw=(0.0, 0.0, 0.707, 0.707),
+        )
+        cmsg = PointIndicesArrayMsg(
+            header=Header("world", 12.5, 7),
+            points=[PointWithRadMsg(1.0, 2.0, 0.25, 0.4),
+                    PointWithRadMsg(-0.5, 3.0, 0.1, 0.2)],
+        )
+        pub_bus.advertise("occupancy_grid").publish(gmsg)
+        pub_bus.advertise("centroids").publish(cmsg)
+
+        assert _wait_for(lambda: len(got) == 2), got.keys()
+        g = got["grid"]
+        assert isinstance(g, OccupancyGridMsg)
+        assert (g.width, g.height, g.resolution) == (101, 120, pytest.approx(0.0375))
+        assert g.header.seq == 7 and g.header.frame_id == "world"
+        np.testing.assert_array_equal(np.asarray(g.data), grid)
+        assert g.origin_position == (4.5, 0.0, 0.0)
+
+        c = got["cent"]
+        assert len(c.points) == 2
+        assert c.points[0].x == pytest.approx(1.0) and c.points[1].r == pytest.approx(0.2)
+    finally:
+        srv.close()
+
+
+def test_pointcloud2_over_tcp_feeds_a_remote_node(rng):
+    """A scan source in one 'process' feeds a node subscribed over TCP —
+    the reference's kinect2_bridge -> node boundary."""
+    src_bus = MessageBus(immediate=True)
+    node_bus = MessageBus(immediate=True)
+    srv = BusServer(src_bus, ["/kinect2/qhd/points"], port=0)
+    try:
+        connect_bus(node_bus, srv.address[0], srv.address[1], ["/kinect2/qhd/points"])
+        got = []
+        node_bus.subscribe("/kinect2/qhd/points", got.append)
+        time.sleep(0.2)
+
+        xyz = rng.uniform(-2, 2, (500, 3)).astype(np.float32)
+        src_bus.advertise("/kinect2/qhd/points").publish(
+            PointCloud2Msg.from_xyz(xyz, seq=3)
+        )
+        assert _wait_for(lambda: len(got) == 1)
+        np.testing.assert_allclose(got[0].xyz(), xyz, atol=1e-7)
+        assert got[0].header.seq == 3
+    finally:
+        srv.close()
+
+
+def test_slow_subscriber_drops_oldest(rng):
+    """ROS queue semantics: a slow TCP subscriber must not stall the
+    publisher; the per-connection queue drops oldest."""
+    pub_bus = MessageBus(immediate=True)
+    sub_bus = MessageBus(immediate=True)
+    srv = BusServer(pub_bus, ["centroids"], port=0, queue_size=2)
+    try:
+        seqs = []
+        lock = threading.Lock()
+
+        def slow_cb(m):
+            with lock:
+                seqs.append(m.header.seq)
+            time.sleep(0.05)
+
+        connect_bus(sub_bus, srv.address[0], srv.address[1], ["centroids"])
+        sub_bus.subscribe("centroids", slow_cb)
+        time.sleep(0.2)
+
+        pub = pub_bus.advertise("centroids")
+        for i in range(30):
+            pub.publish(PointIndicesArrayMsg(header=Header("world", 0.0, i), points=[]))
+        # publishing 30 messages must return quickly (no backpressure stall)
+        assert _wait_for(lambda: len(seqs) >= 2, timeout=10.0)
+        time.sleep(1.0)
+        with lock:
+            got = list(seqs)
+        assert len(got) < 30  # some were dropped
+        assert got == sorted(got)  # order preserved
+        assert got[-1] >= 20  # recent messages won over stale ones
+    finally:
+        srv.close()
