@@ -117,7 +117,7 @@ def knn_mean_distances(
         d2 = jnp.maximum(d2, 0.0)
         d2 = jnp.where(c_valid[None, :], d2, big)
         d2 = jnp.where(q_ids[:, None] == c_ids[None, :], big, d2)
-        if backend == "exact":
+        if backend in ("exact", "banded_exact"):
             dk2 = _k_smallest(d2, k)
         else:
             dk2, _ = lax.approx_min_k(d2, k, recall_target=0.98)
@@ -135,7 +135,7 @@ def knn_mean_distances(
     # outputs are sliced off below
     q_ids = jnp.pad(row_ids, (0, pad), constant_values=n)
 
-    if backend == "banded" and row_tile + 2 * band < n:
+    if backend in ("banded", "banded_exact") and row_tile + 2 * band < n:
         # rank-window candidates: query tile t scores the contiguous column
         # slice [t*T - band, t*T + T + band), clamped inside the buffer
         width = row_tile + 2 * band

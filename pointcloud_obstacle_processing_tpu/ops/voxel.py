@@ -113,7 +113,7 @@ def _reduce_sorted_keys(
 
 def _dense_bins_to_partials(
     bins, occ2d, dims, imin, capacity: int, leaf_size: float,
-    corner_relative: bool, value_terms: int = 2,
+    corner_relative: bool,
 ) -> VoxelPartials:
     """Dense channel-leading [4, K] (sum_xyz, count) bins -> VoxelPartials.
 
@@ -121,32 +121,18 @@ def _dense_bins_to_partials(
     slots are the first ``capacity`` occupied bins in ascending packed order
     (= ascending (ix, iy, iz)).
 
-    The per-slot values ride the compaction's one-hot matmul
-    (compact_and_gather_blocks), whose cost scales with the bf16 split-term
-    count — so instead of gathering 2-term SUMS (unbounded magnitude), the
-    sums are pre-divided into corner-relative CENTROIDS densely (a cheap
-    [3, K] divide): centroid values live in [0, leaf), where a single bf16
-    term already bounds the absolute error at leaf * 2^-9 — the same order
-    as the fast binning mode's own offset quantization.  Counts always use
-    2 terms (exact for integers < 2^17).  ``value_terms`` sets the centroid
-    channels' terms: 1 = fast, 3 = "exact" (error leaf * 2^-24).
+    Compaction + value fetch go through ``compact_and_gather_exact``: a
+    Pallas sequential-overwrite kernel on TPU, plain gathers elsewhere —
+    both EXACT (values are the f32 bin contents bit-for-bit), so no
+    precision machinery is needed here; the only inexactness in the voxel
+    stage is the binning sums' own accumulation (``sum_precision``).
     """
-    from .mxu_histogram import compact_and_gather_blocks
+    from .pallas_compaction import compact_and_gather_exact
 
-    counts_dense = bins[3]
-    if corner_relative:
-        cent_rel = bins[:3] / jnp.maximum(counts_dense, 1.0)[None, :]
-        gbins = jnp.concatenate([cent_rel, counts_dense[None, :]], axis=0)
-    else:
-        gbins = bins
-
-    # block-structured stream compaction of the occupied bins + fused value
-    # gather: several ms cheaper than a flat K-wide cumsum + searchsorted,
-    # and no serialized bins[loc] row gather
-    loc, num, slot_vals = compact_and_gather_blocks(
-        gbins, occ2d, capacity,
-        [value_terms, value_terms, value_terms, 2],
-    )
+    # block-structured stream compaction of the occupied bins + fused exact
+    # value gather: no sort, no serialized bins[loc] row gather, no
+    # [capacity, A] one-hot matmul
+    loc, num, slot_vals = compact_and_gather_exact(bins, occ2d, capacity)
     target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1
     out_valid = target - 1 < jnp.minimum(num, capacity)
 
@@ -162,13 +148,12 @@ def _dense_bins_to_partials(
     )
     slot_counts = slot_vals[:, 3]
     if corner_relative:
-        # values are corner-relative centroids: reconstruct the sums
-        # contract sum(p) = (centroid_rel + corner) * count
+        # values are corner-relative sums: sum(p) = rel_sum + corner*count
         slot_corner = (
             jnp.stack([lx, ly, lz], axis=-1).astype(jnp.float32)
             * jnp.float32(leaf_size)
         )
-        slot_sums = (slot_vals[:, :3] + slot_corner) * slot_counts[:, None]
+        slot_sums = slot_vals[:, :3] + slot_corner * slot_counts[:, None]
     else:
         slot_sums = slot_vals[:, :3]
     return VoxelPartials(
@@ -277,7 +262,6 @@ def voxel_partials(
 
         return _dense_bins_to_partials(
             bins, occ2d, dims, imin, capacity, leaf_size, corner_relative,
-            value_terms=3 if sum_precision == "exact" else 1,
         )
 
     kx = jnp.where(valid, ijk[:, 0], _I32_MAX)
@@ -333,7 +317,6 @@ def merge_voxel_partials(
         occ2d = (bins[3] > 0.0).reshape(kp // 128, 128)
         return _dense_bins_to_partials(
             bins, occ2d, dims, imin, capacity, leaf_size, corner_relative=True,
-            value_terms=3,
         )
 
     kx, ky, kz, sx, sy, sz, cnt = lax.sort(
