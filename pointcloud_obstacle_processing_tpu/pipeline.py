@@ -82,7 +82,7 @@ def process_scan(
         )  # cropped points are in-box: enables the packed single-key sort
         vox = voxel_downsample(
             cropped, config.downsample_leaf_size, config.max_voxels, bounds,
-            config.voxel_sum_precision,
+            config.voxel_sum_precision, config.voxel_binning,
         )
         voxel_cloud = vox.cloud
         n_voxels = vox.num_voxels
@@ -120,7 +120,7 @@ def _post_voxel(
     # voxel-lattice ordering that only voxel_downsample guarantees; with
     # downsampling disabled the cloud is scan-ordered => full-width approx.
     backend = config.knn_backend
-    if backend == "banded" and not config.downsample_input_data:
+    if backend in ("banded", "banded_approx") and not config.downsample_input_data:
         backend = "approx"
     outl = remove_statistical_outliers(
         voxel_cloud,

@@ -82,8 +82,8 @@ def main():
         (1024, 1024, "banded"),
         (2048, 1024, "banded"),
         (2048, 512, "banded"),
-        (512, 512, "banded_exact"),
-        (1024, 512, "banded_exact"),
+        (512, 512, "banded_approx"),
+        (256, 256, "banded_approx"),
         (512, 512, "approx"),      # full-width baseline
     ]:
         be = backend
