@@ -36,94 +36,52 @@ from ..types import Cloud
 
 __all__ = ["knn_mean_distances", "remove_statistical_outliers", "OutlierResult"]
 
-try:  # pallas kept lazy-safe for backends without Mosaic
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-except Exception:  # pragma: no cover
-    pl = None
-    pltpu = None
-
-
-def _kmin_mean_xla(d2: jax.Array, k: int, big: float) -> jax.Array:
+def _kmin_mean(d2: jax.Array, k: int, big: float) -> jax.Array:
     """[T, W] squared distances -> [T] mean of the k smallest sqrt'd,
     excluding sentinel entries (>= big/2), by iterative exact extraction.
 
-    One element is removed per pass (ties broken by lowest lane), so the
-    result equals sort-take-k INCLUDING duplicates — PCL's semantics.
-    Every op is exact (min/compare) or applied in a fixed sequence
-    (<= k sqrt additions), so results are bitwise identical across
-    backends — including against the Pallas kernel below, which runs this
-    same loop body in VMEM.  (A mutation-free threshold variant was
-    measured ~20% slower on v5e: recomputing the (value, lane) exclusion
-    mask each pass costs more than the masked rewrite.)"""
+    Each pass takes the row minimum and ALL its duplicates at once
+    (bounded by the remaining quota), so the result equals sort-take-k
+    INCLUDING duplicates -- PCL's semantics -- in at most k passes.  The
+    tile is bitcast to int32 (non-negative IEEE floats order-identically
+    as signed ints), which makes the per-pass work three [T, W] touches:
+    an int min-reduce, an equality+count reduce (the compare is CSE'd
+    into the masked rewrite), and the INT32_MAX masking store.
+
+    This is plain XLA on every backend on purpose: the arithmetic is
+    min/compare/sqrt plus a fixed-order multiply-add sequence on [T, 1]
+    scalars-per-row, the same HLO everywhere, so TPU and CPU produce
+    bit-identical results (a Pallas twin was measured no faster -- the
+    XLA loop already stays resident -- and was removed).
+
+    (Two rejected variants, measured on v5e: one-element-per-pass with a
+    first-lane tiebreak reduce was ~25% slower; a mutation-free
+    (value, lane) threshold form ~40% slower.)"""
     t, w = d2.shape
-    lane = lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    iv0 = lax.bitcast_convert_type(d2, jnp.int32)  # d2 >= 0: order-preserving
+    i32_max = jnp.iinfo(jnp.int32).max
+    kf = jnp.float32(k)
 
     def body(_, state):
-        scratch, s, c = state
-        m = jnp.min(scratch, axis=1, keepdims=True)  # [T, 1]
-        real = m < big * 0.5
-        dk = jnp.sqrt(jnp.maximum(m, 0.0))
-        s = s + jnp.where(real, dk, 0.0)
-        c = c + real.astype(jnp.float32)
-        eq = scratch == m
-        first = jnp.min(jnp.where(eq, lane, w), axis=1, keepdims=True)
-        scratch = jnp.where(eq & (lane == first), jnp.float32(big), scratch)
-        return scratch, s, c
+        iv, s, taken = state
+        m = jnp.min(iv, axis=1, keepdims=True)  # [T, 1] int32
+        eq = iv == m
+        cnt = jnp.sum(eq.astype(jnp.float32), axis=1, keepdims=True)
+        mf = lax.bitcast_convert_type(m, jnp.float32)
+        real = mf < big * 0.5  # False for sentinels and exhausted rows
+        take = jnp.where(real, jnp.minimum(cnt, kf - taken), 0.0)
+        # the where guards NaN: an exhausted row's m is INT32_MAX = NaN bits
+        s = s + jnp.where(real, take * jnp.sqrt(mf), 0.0)
+        taken = taken + take
+        iv = jnp.where(eq, i32_max, iv)
+        return iv, s, taken
 
-    _, s, c = lax.fori_loop(
+    _, s, taken = lax.fori_loop(
         0, k, body,
-        (d2, jnp.zeros((t, 1), jnp.float32), jnp.zeros((t, 1), jnp.float32)),
+        (iv0, jnp.zeros((t, 1), jnp.float32), jnp.zeros((t, 1), jnp.float32)),
     )
-    return s[:, 0] / jnp.maximum(c[:, 0], 1.0)
+    return s[:, 0] / jnp.maximum(taken[:, 0], 1.0)
 
-
-def _kmin_mean_pallas(d2: jax.Array, k: int, big: float) -> jax.Array:
-    """Pallas form of ``_kmin_mean_xla``: the [T, W] tile lives in VMEM and
-    the k extraction passes never touch HBM.  Arithmetic is op-for-op the
-    XLA loop (min / eq / sqrt / fixed-order adds — all exact or
-    order-fixed), so outputs are bit-identical to the fallback and the
-    TPU<->CPU crosscheck is preserved (unlike a fused distance kernel,
-    whose FMA contraction would perturb d2 itself)."""
-    t, w = d2.shape
-
-    def kernel(d2_ref, out_ref, scratch):
-        scratch[:] = d2_ref[:]
-        lane = lax.broadcasted_iota(jnp.int32, (1, w), 1)
-
-        def body(_, state):
-            s, c = state
-            cur = scratch[:]
-            m = jnp.min(cur, axis=1, keepdims=True)
-            real = m < big * 0.5
-            dk = jnp.sqrt(jnp.maximum(m, 0.0))
-            s = s + jnp.where(real, dk, 0.0)
-            c = c + real.astype(jnp.float32)
-            eq = cur == m
-            first = jnp.min(jnp.where(eq, lane, w), axis=1, keepdims=True)
-            scratch[:] = jnp.where(eq & (lane == first), jnp.float32(big), cur)
-            return s, c
-
-        s, c = lax.fori_loop(
-            0, k, body,
-            (jnp.zeros((t, 1), jnp.float32), jnp.zeros((t, 1), jnp.float32)),
-        )
-        out_ref[:] = s / jnp.maximum(c, 1.0)
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((t, 1), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t, w), jnp.float32)],
-    )(d2)
-    return out[:, 0]
-
-
-def _kmin_mean(d2: jax.Array, k: int, big: float) -> jax.Array:
-    if jax.default_backend() == "tpu" and pl is not None:
-        return _kmin_mean_pallas(d2, k, big)
-    return _kmin_mean_xla(d2, k, big)
 
 def knn_mean_distances(
     cloud: Cloud, k: int, row_tile: int = 512, backend: str = "approx",
@@ -149,8 +107,8 @@ def knn_mean_distances(
         within a bounded RANK window, so query tile t only scores columns
         [tT - band, tT + T + band) — a contiguous slice, no gather.
         Selection within the window is EXACT: iterative k-min extraction
-        in VMEM (``_kmin_mean_pallas`` on TPU, the bit-identical XLA loop
-        elsewhere) — the same ~N_cand/N work reduction as a 27-cell
+        (``_kmin_mean``, identical XLA on every backend) — the same
+        ~N_cand/N work reduction as a 27-cell
         grid-hash walk with zero bucketing overhead and no approx-top-k
         recall loss.  Candidates outside the window are missed, so the
         mean distances are an upper bound for rare boundary points
