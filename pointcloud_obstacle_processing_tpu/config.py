@@ -81,6 +81,12 @@ class PipelineConfig:
     # choice is backend-independent so TPU<->CPU runs compare identical
     # programs.
     voxel_binning: str = "auto"
+    # Output ordering of the sort engine: "lattice" = ascending packed
+    # (ix, iy, iz) (row-major, PCL-packed-leaf spirit); "morton" = Z-curve
+    # bit-interleaved order — rank distance tracks 3-D distance far
+    # better, so the banded kNN window (knn_band) can shrink at equal
+    # fidelity.  Requires the sort engine and a <= 24-bit lattice.
+    voxel_order: str = "lattice"
 
     # ---- passthrough (cpp:944; dead code path :298-314) --------------------
     passthrough_filter_enable: bool = True
@@ -163,6 +169,10 @@ class PipelineConfig:
             raise ValueError("degenerate crop box")
         if self.voxel_binning not in ("auto", "sort", "mxu", "scatter"):
             raise ValueError(f"unknown voxel_binning {self.voxel_binning!r}")
+        if self.voxel_order not in ("lattice", "morton"):
+            raise ValueError(f"unknown voxel_order {self.voxel_order!r}")
+        if self.voxel_order == "morton" and self.voxel_binning not in ("auto", "sort"):
+            raise ValueError("voxel_order='morton' requires the sort engine")
 
 
 # params.yaml:1-31 values — the configuration the robot actually shipped with.

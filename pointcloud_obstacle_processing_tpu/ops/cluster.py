@@ -192,7 +192,32 @@ def euclidean_cluster(
     tol2 = float(tolerance) ** 2
 
     idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    labels0 = idx  # every point its own component (incl. invalid: stays self)
+
+    # ---- chain seeding ----------------------------------------------------
+    # Consecutive-rank points within tolerance are REAL graph edges (the
+    # voxel stage emits lattice order, so clusters arrive as runs); seed
+    # each run with its head index via an inclusive max-scan.  Any valid
+    # under-approximation of the component (labels[i] = index of an
+    # in-component point <= i) converges to the SAME fixpoint (the
+    # component min index), just in fewer sweeps (~7-8 -> ~4 measured).
+    # The threshold carries a 1e-6 relative margin so a seed edge can
+    # never exceed what the sweep's own (possibly FMA-contracted) d2
+    # arithmetic would reject — over-merges are irreversible, borderline
+    # pairs are left for the sweeps.
+    prev = jnp.concatenate([p[:1], p[:-1]], axis=0)
+    gap2 = jnp.sum((p - prev) * (p - prev), axis=-1)
+    prev_valid = jnp.concatenate([jnp.zeros((1,), bool), valid[:-1]])
+    chain = valid & prev_valid & (gap2 <= tol2 * (1.0 - 1e-6))
+    head = valid & ~chain
+    run_head = jnp.where(head, idx, -1)
+    d = 1
+    while d < n:  # inclusive max-scan, explicit log-shift steps (exact ints)
+        run_head = jnp.maximum(
+            run_head,
+            jnp.concatenate([jnp.full((d,), -1, run_head.dtype), run_head[:-d]]),
+        )
+        d *= 2
+    labels0 = jnp.where(valid, run_head, idx)  # invalid: stays self
 
     def cond(state):
         labels, changed, it = state

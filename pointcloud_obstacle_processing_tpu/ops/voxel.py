@@ -183,8 +183,45 @@ def _pack_spec(bounds, leaf_size: float):
     return imin, dims
 
 
+def _morton_schedule(dims):
+    """Static bit-interleave schedule for (ix, iy, iz) under the crop box.
+
+    Returns [(axis, src_bit), ...] from output LSB upward, cycling z, y, x
+    while each axis still has bits (axis widths follow the box dims, so
+    e.g. the fullscale [301, 253, 51] lattice packs into 9+8+6 = 23 bits —
+    within f32's exact-integer range, which the compaction key channel
+    requires).  The resulting order is a Z-curve: rank distance tracks 3-D
+    distance far better than row-major lattice order, which is what lets
+    the banded kNN window shrink at equal fidelity."""
+    bits = [max(1, int(d - 1).bit_length()) for d in dims]
+    sched = []
+    cnt = [0, 0, 0]
+    while any(cnt[a] < bits[a] for a in range(3)):
+        for a in (2, 1, 0):  # z minor, like the packed lattice order
+            if cnt[a] < bits[a]:
+                sched.append((a, cnt[a]))
+                cnt[a] += 1
+    return sched, sum(bits)
+
+
+def _morton_encode(ix, iy, iz, sched):
+    axes = (ix, iy, iz)
+    out = jnp.zeros_like(ix)
+    for i, (a, b) in enumerate(sched):
+        out = out | (((axes[a] >> b) & 1) << i)
+    return out
+
+
+def _morton_decode(code, sched):
+    outs = [jnp.zeros_like(code) for _ in range(3)]
+    for i, (a, b) in enumerate(sched):
+        outs[a] = outs[a] | (((code >> i) & 1) << b)
+    return outs
+
+
 def _sort_segment_partials(
-    pts, valid, ijk, imin, dims, leaf_size: float, capacity: int
+    pts, valid, ijk, imin, dims, leaf_size: float, capacity: int,
+    order: str = "lattice",
 ) -> VoxelPartials:
     """Stable-sort + segmented-scan voxel reduction (the default path).
 
@@ -220,18 +257,33 @@ def _sort_segment_partials(
     ix = jnp.clip(ijk[:, 0] - imin[0], 0, dims[0] - 1)
     iy = jnp.clip(ijk[:, 1] - imin[1], 0, dims[1] - 1)
     iz = jnp.clip(ijk[:, 2] - imin[2], 0, dims[2] - 1)
-    packed = jnp.where(valid, (ix * dims[1] + iy) * dims[2] + iz, K)
+    if order == "morton":
+        sched, total_bits = _morton_schedule(dims)
+        if total_bits > 24:
+            raise ValueError(
+                "voxel_order='morton' needs <= 24 key bits for the exact "
+                f"f32 key channel (lattice {dims} needs {total_bits})"
+            )
+        sentinel = 1 << total_bits
+        packed = jnp.where(valid, _morton_encode(ix, iy, iz, sched), sentinel)
+    else:
+        sentinel = K
+        packed = jnp.where(valid, (ix * dims[1] + iy) * dims[2] + iz, K)
 
     skey, sx, sy, sz = lax.sort(
         (packed, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1, is_stable=True
     )
-    svalid = skey < K
+    svalid = skey < sentinel
 
-    # corner-relative offsets from the sorted key (invalid rows -> 0)
-    kx = skey // (dims[1] * dims[2])
-    krem = skey % (dims[1] * dims[2])
-    ky = krem // dims[2]
-    kz = krem % dims[2]
+    # corner-relative offsets from the sorted key (invalid rows -> garbage
+    # coords, but their offsets are masked to 0 below)
+    if order == "morton":
+        kx, ky, kz = _morton_decode(skey, sched)
+    else:
+        kx = skey // (dims[1] * dims[2])
+        krem = skey % (dims[1] * dims[2])
+        ky = krem // dims[2]
+        kz = krem % dims[2]
     corner = (
         jnp.stack([kx + imin[0], ky + imin[1], kz + imin[2]], axis=0).astype(
             jnp.float32
@@ -260,11 +312,15 @@ def _sort_segment_partials(
 
     target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
     out_valid = target < jnp.minimum(num, capacity)
-    slot_key = jnp.clip(slot_vals[:, 0].astype(jnp.int32), 0, K - 1)
-    lx = slot_key // (dims[1] * dims[2]) + imin[0]
-    lrem = slot_key % (dims[1] * dims[2])
-    ly = lrem // dims[2] + imin[1]
-    lz = lrem % dims[2] + imin[2]
+    slot_key = jnp.clip(slot_vals[:, 0].astype(jnp.int32), 0, sentinel - 1)
+    if order == "morton":
+        dx, dy, dz = _morton_decode(slot_key, sched)
+        lx, ly, lz = dx + imin[0], dy + imin[1], dz + imin[2]
+    else:
+        lx = slot_key // (dims[1] * dims[2]) + imin[0]
+        lrem = slot_key % (dims[1] * dims[2])
+        ly = lrem // dims[2] + imin[1]
+        lz = lrem % dims[2] + imin[2]
     keys = jnp.where(
         out_valid[:, None], jnp.stack([lx, ly, lz], axis=-1), _I32_MAX
     )
@@ -285,7 +341,7 @@ def _sort_segment_partials(
 
 def voxel_partials(
     cloud: Cloud, leaf_size: float, capacity: int, bounds=None,
-    sum_precision: str = "exact", binning: str = "auto",
+    sum_precision: str = "exact", binning: str = "auto", order: str = "lattice",
 ) -> VoxelPartials:
     """Bin points into voxels and return per-voxel (key, sum, count).
 
@@ -321,7 +377,12 @@ def voxel_partials(
     if packable and binning in ("auto", "sort") and n % 128 == 0:
         imin, dims = spec
         return _sort_segment_partials(
-            pts, valid, ijk, imin, dims, leaf_size, capacity
+            pts, valid, ijk, imin, dims, leaf_size, capacity, order
+        )
+    if order == "morton":
+        raise ValueError(
+            "voxel_order='morton' requires the sort engine (packable bounds, "
+            "capacity % 128 == 0, binning in ('auto', 'sort'))"
         )
     if packable and binning in ("auto", "sort", "mxu", "scatter"):
         # Dense-bin paths: bin into the crop box's full voxel lattice
@@ -468,9 +529,11 @@ def finalize_voxels(partials: VoxelPartials) -> VoxelResult:
 
 def voxel_downsample(
     cloud: Cloud, leaf_size: float, max_voxels: int, bounds=None,
-    sum_precision: str = "exact", binning: str = "auto",
+    sum_precision: str = "exact", binning: str = "auto", order: str = "lattice",
 ) -> VoxelResult:
     """Downsample to per-voxel centroids.  See module docstring."""
     return finalize_voxels(
-        voxel_partials(cloud, leaf_size, max_voxels, bounds, sum_precision, binning)
+        voxel_partials(
+            cloud, leaf_size, max_voxels, bounds, sum_precision, binning, order
+        )
     )

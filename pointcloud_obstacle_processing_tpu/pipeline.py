@@ -82,7 +82,7 @@ def process_scan(
         )  # cropped points are in-box: enables the packed single-key sort
         vox = voxel_downsample(
             cropped, config.downsample_leaf_size, config.max_voxels, bounds,
-            config.voxel_sum_precision, config.voxel_binning,
+            config.voxel_sum_precision, config.voxel_binning, config.voxel_order,
         )
         voxel_cloud = vox.cloud
         n_voxels = vox.num_voxels

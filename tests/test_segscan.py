@@ -130,3 +130,47 @@ def test_sort_path_overflow_keeps_ascending_prefix():
     np.testing.assert_array_equal(
         np.asarray(small.counts), np.asarray(full.counts)[:128]
     )
+
+
+def test_morton_order_same_voxel_set():
+    """voxel_order='morton' produces the same voxel set/counts/sums as
+    lattice order, in ascending Z-curve rank; coords roundtrip exactly.
+    (Kept as an ORDER option only: measured on v5e, Z-curve discontinuities
+    make the banded kNN MISS 11-20% of neighbor sets vs lattice's 0.11%,
+    so the flagship stays on lattice order — docs/PERFORMANCE.md.)"""
+    from pointcloud_obstacle_processing_tpu.ops.voxel import (
+        _morton_decode,
+        _morton_encode,
+        _morton_schedule,
+    )
+
+    rng = np.random.default_rng(5)
+    for dims in ([114, 96, 21], [301, 253, 51], [8, 8, 8]):
+        sched, tb = _morton_schedule(dims)
+        assert tb <= 24
+        ix = jnp.asarray(rng.integers(0, dims[0], 500).astype(np.int32))
+        iy = jnp.asarray(rng.integers(0, dims[1], 500).astype(np.int32))
+        iz = jnp.asarray(rng.integers(0, dims[2], 500).astype(np.int32))
+        code = _morton_encode(ix, iy, iz, sched)
+        assert int(jnp.max(code)) < (1 << tb)
+        dx, dy, dz = _morton_decode(code, sched)
+        for got, exp in ((dx, ix), (dy, iy), (dz, iz)):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    pts, valid = _random_cloud(rng, 4096)
+    cloud = Cloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
+    pl_ = voxel_partials(cloud, 0.04, 4096, BOUNDS, "exact", "sort", "lattice")
+    pm = voxel_partials(cloud, 0.04, 4096, BOUNDS, "exact", "sort", "morton")
+    n = int(pl_.num_voxels)
+    assert n == int(pm.num_voxels)
+    as_map = lambda p: {
+        tuple(k): (c, tuple(s))
+        for k, c, s in zip(
+            np.asarray(p.keys)[:n], np.asarray(p.counts)[:n], np.asarray(p.sums)[:n]
+        )
+    }
+    ml, mm = as_map(pl_), as_map(pm)
+    assert ml.keys() == mm.keys()
+    for k in ml:
+        assert ml[k][0] == mm[k][0]
+        np.testing.assert_allclose(ml[k][1], mm[k][1], atol=1e-5)
