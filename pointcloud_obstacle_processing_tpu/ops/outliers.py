@@ -192,8 +192,8 @@ def knn_mean_distances(
     q_ids = jnp.pad(row_ids, (0, pad), constant_values=n)
 
     if backend in ("banded", "banded_approx") and row_tile + 2 * band < n:
-        # rank-window candidates: query tile t scores the contiguous column
-        # slice [t*T - band, t*T + T + band), clamped inside the buffer
+        # rank-window candidates: query tile t scores a contiguous column
+        # slice of ``width`` columns, clamped inside the buffer
         width = row_tile + 2 * band
         starts = jnp.clip(
             lax.broadcasted_iota(jnp.int32, (tiles, 1), 0)[:, 0] * row_tile
