@@ -104,3 +104,33 @@ def test_batched_pipeline_shapes(rng):
     out = batched_pipeline(CFG)(clouds, keys)
     assert out.grid.data.shape == (4, CFG.grid_height, CFG.grid_width)
     assert out.centroids.points.xyzr.shape == (4, CFG.max_clusters, 4)
+
+
+def test_point_shard_count_disagreement_scaling(rng):
+    """Quantify float-summation-order disagreement on the point-sharded
+    path as the shard count grows (VERDICT r1 weak #6): per-shard voxel
+    sums merge in shard order, which can perturb RANSAC's inlier boundary
+    and flip isolated grid cells.  The structural outputs must stay exact
+    and the grid-cell disagreement bounded (and not blow up with shards)."""
+    clouds = _batch(1, seed0=9)
+    keys = jax.random.split(jax.random.PRNGKey(3), 1)
+    single = jax.jit(lambda c, k: process_scan(c, k, CFG))(
+        jax.tree_util.tree_map(lambda x: x[0], clouds), keys[0]
+    )
+    want_grid = np.asarray(single.grid.data)
+    fracs = {}
+    for shards in (2, 4, 8):
+        mesh = make_mesh(
+            {"data": 1, "points": shards}, devices=jax.devices()[:shards]
+        )
+        out = dp_sp_pipeline(CFG, mesh)(clouds, keys)
+        assert int(out.stats.cropped_points[0]) == int(single.stats.cropped_points)
+        assert int(out.stats.voxel_points[0]) == int(single.stats.voxel_points)
+        assert int(out.clusters.num_clusters[0]) == int(
+            single.clusters.num_clusters
+        )
+        fracs[shards] = float(np.mean(np.asarray(out.grid.data[0]) != want_grid))
+    print(f"SP grid disagreement by shard count: {fracs}")
+    assert all(f < 0.01 for f in fracs.values()), fracs
+    # growing the shard count must not qualitatively degrade agreement
+    assert fracs[8] <= max(fracs[2], fracs[4]) + 0.005, fracs
