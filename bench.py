@@ -196,7 +196,7 @@ def main():
             lambda cc: remove_statistical_outliers(
                 cc, cfg.statistical_outlier_mean_k,
                 cfg.statistical_outlier_std_dev_thresh, backend=cfg.knn_backend,
-                band=cfg.knn_band,
+                band=cfg.knn_band, row_tile=cfg.knn_row_tile,
             )
         )(c)
         return jnp.sum(r.cloud.valid)
@@ -206,7 +206,7 @@ def main():
             lambda cc: remove_statistical_outliers(
                 cc, cfg.statistical_outlier_mean_k,
                 cfg.statistical_outlier_std_dev_thresh, backend=cfg.knn_backend,
-                band=cfg.knn_band,
+                band=cfg.knn_band, row_tile=cfg.knn_row_tile,
             )
         )
     )(vox.cloud)

@@ -105,8 +105,13 @@ class PipelineConfig:
     # window with approx_min_k selection, kept for comparison.
     knn_backend: str = "approx"
     # half-width (in rank space) of the "banded" candidate window; the
-    # window is row_tile + 2*knn_band columns wide.
+    # window is knn_row_tile + 2*knn_band columns wide.
     knn_band: int = 512
+    # query-tile height of the tiled kNN scorer.  Window work scales with
+    # knn_row_tile + 2*knn_band, so smaller tiles do LESS total work on
+    # the banded path (measured best at 256 on v5e; below 128 the
+    # per-tile overhead wins).  Fidelity is band-dominated either way.
+    knn_row_tile: int = 512
 
     # ---- RANSAC plane segmentation (cpp:969-970, :364-399) -----------------
     plane_segment_dist_thresh: float = 0.040

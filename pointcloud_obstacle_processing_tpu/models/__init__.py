@@ -29,6 +29,7 @@ FLAGSHIP_CONFIG = REFERENCE_YAML_CONFIG.replace(
     max_clusters=64,
     downsample_leaf_size=0.04,
     knn_backend="banded",
+    knn_row_tile=256,  # smaller tiles = less total banded-window work
 )
 
 # The authentic reference workload at full fidelity: a 200-frame

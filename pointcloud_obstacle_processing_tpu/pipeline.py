@@ -128,6 +128,7 @@ def _post_voxel(
         config.statistical_outlier_std_dev_thresh,
         backend=backend,
         band=config.knn_band,
+        row_tile=config.knn_row_tile,
     )
 
     # 4. multi-plane RANSAC removal
