@@ -245,6 +245,11 @@ def compact_and_gather_blocks(
 ):
     """Compaction + per-slot bin VALUES fetched in the same one-hot matmul.
 
+    SUPERSEDED in the pipeline by ``ops.pallas_compaction.
+    compact_and_gather_exact`` (exact values, ~2x faster, K-independent);
+    kept as the measured pure-XLA baseline and for the experiment scripts
+    (scripts/tpu_experiments6/7.py) that document the comparison.
+
     ``bins``: [C, A*B] float32 bin table, CHANNEL-LEADING (each channel
     row-major matching the [A, B] ``occ2d`` occupancy view).  Returns
     (flat_idx [S], num, values [S, C]) — equivalent to
