@@ -53,24 +53,36 @@ def _scan_steps(v, f, n: int):
 
 
 def _segscan_pallas(values: jax.Array, heads: jax.Array) -> jax.Array:
-    """VMEM form: the 17-step chain at N=131k moves ~4 MB x 2 x steps
-    through HBM when XLA materializes every shifted concat (~7.7
-    ms/batch-of-32 measured on v5e); keeping the [C, N] block resident in
-    VMEM reduces traffic to one read + one write (~1 ms/batch)."""
+    """VMEM form: the shift-step chain at N=131k moves ~4 MB x 2 x steps
+    through HBM when XLA materializes every shifted concat (~3.8
+    ms/batch-of-32 measured on v5e); keeping blocks resident in VMEM
+    reduces traffic to one read + one write (~2.6 ms/batch).  The grid
+    iterates CHANNELS so each step holds only [1, N] blocks — a whole
+    [C, N] block doubles up under Mosaic's pipelining and blows the 16 MB
+    scoped-VMEM budget at larger vmap batches."""
     c, n = values.shape
 
     def kernel(v_ref, f_ref, out_ref):
         out_ref[:] = _scan_steps(v_ref[:], f_ref[:], n)
 
-    return pl.pallas_call(
+    # [C, 1, N] so each grid step's block is (1, 1, N): the trailing two
+    # dims then EQUAL the array dims, satisfying Mosaic's block rules
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((c, n), values.dtype),
+        grid=(c,),
+        out_shape=jax.ShapeDtypeStruct((c, 1, n), values.dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(values, jnp.broadcast_to(heads[None, :], (1, n)).astype(jnp.int32))
+        out_specs=pl.BlockSpec(
+            (1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(
+        values[:, None, :],
+        jnp.broadcast_to(heads[None, None, :], (1, 1, n)).astype(jnp.int32),
+    )
+    return out[:, 0, :]
 
 
 def segmented_inclusive_scan(values: jax.Array, heads: jax.Array) -> jax.Array:
@@ -92,8 +104,9 @@ def segmented_inclusive_scan(values: jax.Array, heads: jax.Array) -> jax.Array:
     vmem_ok = (
         values.ndim == 2
         and n % 128 == 0
-        # value block + flag temps + shift temps must sit in ~16 MB VMEM
-        and (values.shape[0] + 2) * n * 4 * 3 < 12 * 1024 * 1024
+        # per-channel [1, N] block + flags + shift temps, double-buffered,
+        # must sit in the ~16 MB scoped-VMEM budget
+        and n * 4 * 10 < 12 * 1024 * 1024
         and jax.default_backend() == "tpu"
         and pl is not None
     )
