@@ -57,7 +57,8 @@ except Exception:  # pragma: no cover
 
 
 def _kernel(
-    excl_ref, bins_ref, out_ref, scratch, sem, *, group: int, c: int, capacity: int
+    excl_ref, bins_ref, out_ref, scratch, sem, sem2, *,
+    group: int, c: int, capacity: int,
 ):
     """One grid step: compact ``group`` 128-lane blocks of one batch element.
 
@@ -73,17 +74,28 @@ def _kernel(
         only columns [0, c+1) are meaningful and the caller slices them).
         Column c is the f32 flat bin index ``blk*128 + lane`` (< 2^24,
         exactly representable).
-    scratch:  [group*128, 128] f32 VMEM staging window; this step's
-        blocks land at their LOCAL offsets (excl - window start), then one
-        DMA writes the window to HBM at the window start.  Stale scratch
-        rows (not rewritten this step) land past this window's real rows,
-        i.e. exactly where the NEXT window begins — the sequential grid
-        guarantees the next DMA overwrites them (the final window's tail
-        lands at slots >= num, which callers mask).
-    sem:      DMA completion semaphore.
+    scratch:  [2 * group*128, 128] f32 double-buffered VMEM staging
+        windows; this step's blocks land at their LOCAL offsets
+        (excl - window start) in buffer (global_step % 2), then one DMA
+        ships the window to HBM at the window start.  Stale scratch rows
+        (not rewritten this step) land past this window's real rows,
+        i.e. exactly where the NEXT window begins — and because each
+        step WAITS the previous step's window DMA before starting its
+        own, later windows always overwrite earlier garbage tails (the
+        final window's tail lands at slots >= num, which callers mask).
+        The wait-before-start chain also makes buffer reuse safe (the
+        DMA reading buffer b at step g-2 completed before step g-1's
+        started) while letting window g-1's DMA overlap step g's
+        compute.
+    sem:      window-DMA semaphore (the wait chain above).
+    sem2:     overflow-DMA semaphore (started and waited in-step).
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)
+    gstep = bi * pl.num_programs(1) + i
+    last = pl.num_programs(0) * pl.num_programs(1) - 1
+    w_full = group * 128
+    base = lax.rem(gstep, 2) * w_full
     step_start = excl_ref[0, 0, i * group]
 
     lane_f = lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
@@ -119,7 +131,7 @@ def _kernel(
         block_out = jnp.concatenate(cols, axis=1)  # [128, c+1]
 
         lstart = excl_ref[0, 0, i * group + g] - step_start
-        scratch[pl.ds(lstart, 128), 0 : c + 1] = block_out
+        scratch[pl.ds(base + lstart, 128), 0 : c + 1] = block_out
 
     # Flush the window.  Occupancy is typically sparse (~5-10% of lanes),
     # so the window's REAL rows (written = next window's start - ours)
@@ -131,24 +143,40 @@ def _kernel(
     ws = min(512, group * 128)
     written = excl_ref[0, 0, (i + 1) * group] - step_start
     start1 = jnp.minimum(step_start, capacity)
+
+    # wait the PREVIOUS window's DMA before starting ours: preserves the
+    # overlapping-window write order AND frees this step's scratch buffer
+    # (same byte count every step, so any same-shape descriptor waits it)
+    @pl.when(gstep > 0)
+    def _wait_prev():
+        pltpu.make_async_copy(
+            scratch.at[pl.ds(w_full - base, ws), :],
+            out_ref.at[bi, pl.ds(0, ws), :],
+            sem,
+        ).wait()
+
     cp1 = pltpu.make_async_copy(
-        scratch.at[pl.ds(0, ws), :],
+        scratch.at[pl.ds(base, ws), :],
         out_ref.at[bi, pl.ds(start1, ws), :],
         sem,
     )
     cp1.start()
-    cp1.wait()
+
+    @pl.when(gstep == last)
+    def _drain():
+        cp1.wait()
 
     if ws < group * 128:
 
         @pl.when(written > ws - 128)
         def _flush_rest():
             # rare: more real rows than the fast window — ship the rest
+            # (disjoint from every in-flight window region; waited in-step)
             start2 = jnp.minimum(step_start + ws, capacity + ws)
             cp2 = pltpu.make_async_copy(
-                scratch.at[pl.ds(ws, group * 128 - ws), :],
+                scratch.at[pl.ds(base + ws, group * 128 - ws), :],
                 out_ref.at[bi, pl.ds(start2, group * 128 - ws), :],
-                sem,
+                sem2,
             )
             cp2.start()
             cp2.wait()
@@ -199,7 +227,8 @@ def _pallas_compact_gather_batched(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((bsz, s_pad, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((group * 128, 128), jnp.float32),
+            pltpu.VMEM((2 * group * 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
