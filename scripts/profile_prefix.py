@@ -52,7 +52,10 @@ def stage(c, k, upto):
     seed = crop_and_seed(c, cfg)
     if upto == 1:
         return seed.hole_grid
-    vox = voxel_downsample(seed.cloud, cfg.downsample_leaf_size, cfg.max_voxels, bounds)
+    vox = voxel_downsample(
+        seed.cloud, cfg.downsample_leaf_size, cfg.max_voxels, bounds,
+        cfg.voxel_sum_precision, cfg.voxel_binning, cfg.voxel_order,
+    )
     if upto == 2:
         return vox.cloud.points
     outl = remove_statistical_outliers(vox.cloud, 15, 4.0)
