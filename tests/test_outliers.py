@@ -140,3 +140,26 @@ def test_banded_backend_agrees_with_exact_on_voxel_sorted_cloud():
     keep_e = np.asarray(exact.cloud.valid)[v]
     keep_b = np.asarray(banded.cloud.valid)[v]
     assert np.mean(keep_e == keep_b) > 0.999
+
+
+def test_kmin_mean_extraction_oracle():
+    """The banded path's exact k-min extraction (_kmin_mean) against a
+    sort-take-k oracle: duplicate distances beyond the quota, fully
+    sentinel rows, and sentinel-tail rows (PCL's searchForNeighbors
+    semantics: take exactly k including duplicates, mean over found)."""
+    import jax.numpy as jnp
+
+    from pointcloud_obstacle_processing_tpu.ops.outliers import _kmin_mean
+
+    rng = np.random.default_rng(0)
+    big = 3.0e38
+    for t, w, k in [(8, 128, 5), (16, 256, 15), (4, 64, 64)]:
+        d2 = (rng.random((t, w)).astype(np.float32) * 4)
+        d2[0, : min(20, w)] = 0.5  # more duplicates than the quota
+        d2[1, :] = big  # no real candidates at all
+        d2[2, w // 2 :] = big  # sentinel tail
+        got = np.asarray(_kmin_mean(jnp.asarray(d2), k, big))
+        for r in range(t):
+            vals = np.sort(d2[r][d2[r] < big * 0.5])[:k]
+            exp = np.sqrt(vals).mean() if len(vals) else 0.0
+            assert abs(got[r] - exp) < 2e-5, (t, w, k, r, got[r], exp)
