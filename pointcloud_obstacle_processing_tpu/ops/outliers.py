@@ -155,17 +155,23 @@ def knn_mean_distances(
     # k-min kernel needs it as a compile-time literal
 
     def _score_tile(q, q_sq, q_ids, cols, cols_sq, c_ids, c_valid):
-        """[T, C] squared distances on the MXU + k-smallest mean.
+        """[T, C] squared distances + k-smallest mean.
 
-        HIGHEST precision: the TPU MXU default truncates inputs to
-        bfloat16, which perturbs kNN distances by ~4e-3 relative — enough
-        to reorder neighbor sets.  Full-f32 passes keep distances exact.
-        Self and invalid columns get a big finite sentinel (not inf: the
-        mean masks on the sentinel instead of isfinite)."""
-        d2 = q_sq[:, None] + cols_sq[None, :] - 2.0 * jnp.dot(
-            q, cols.T, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+        The cross term is explicit full-f32 mul-adds, not a dot: a K=3
+        contraction is too narrow for the MXU, and the dot form either
+        truncates inputs to bf16 (default precision — perturbs kNN
+        distances by ~4e-3 relative, enough to reorder neighbor sets) or
+        pays HIGHEST's multi-pass cost (~12% slower than the VPU mul-adds,
+        measured).  The same expression tree evaluates identically on
+        every backend, like the cluster sweep's.  Self and invalid columns
+        get a big finite sentinel (not inf: the mean masks on the sentinel
+        instead of isfinite)."""
+        cross = (
+            q[:, 0:1] * cols[:, 0][None, :]
+            + q[:, 1:2] * cols[:, 1][None, :]
+            + q[:, 2:3] * cols[:, 2][None, :]
         )
+        d2 = q_sq[:, None] + cols_sq[None, :] - 2.0 * cross
         d2 = jnp.maximum(d2, 0.0)
         d2 = jnp.where(c_valid[None, :], d2, big)
         d2 = jnp.where(q_ids[:, None] == c_ids[None, :], big, d2)
