@@ -128,7 +128,12 @@ def main():
 
     t2 = _timed(chain2, clouds, keys, iters=4)
     t10 = _timed(chain10, clouds, keys, iters=4)
+    if t10 <= t2:  # tunnel hiccup inflated a measurement: remeasure once
+        t2 = _timed(chain2, clouds, keys, iters=4)
+        t10 = _timed(chain10, clouds, keys, iters=4)
     t_batch = (t10 - t2) / 8.0  # marginal = steady-state batch time
+    if t_batch <= 0:
+        t_batch = t10 / 10.0  # RPC-inclusive upper bound
     scans_per_sec = B / t_batch
 
     t_single_dispatch = _timed(jax.jit(batch_scalar), clouds, keys, iters=5)
@@ -157,9 +162,16 @@ def main():
     lat.sort()
     t_single = lat[len(lat) // 2]
 
-    s2 = _timed(jax.jit(lambda c, k: chained_single(c, k, 2)), c0, keys[0], iters=4)
-    s12 = _timed(jax.jit(lambda c, k: chained_single(c, k, 12)), c0, keys[0], iters=4)
+    cs2 = jax.jit(lambda c, k: chained_single(c, k, 2))
+    cs12 = jax.jit(lambda c, k: chained_single(c, k, 12))
+    s2 = _timed(cs2, c0, keys[0], iters=4)
+    s12 = _timed(cs12, c0, keys[0], iters=4)
+    if s12 <= s2:  # tunnel hiccup: remeasure once
+        s2 = _timed(cs2, c0, keys[0], iters=4)
+        s12 = _timed(cs12, c0, keys[0], iters=4)
     t_single_device = (s12 - s2) / 10.0
+    if t_single_device <= 0:
+        t_single_device = s12 / 12.0  # RPC-inclusive upper bound
 
     # ---- per-stage table (reference cpp:913-925 equivalent) ----------------
     # each stage timed batched with a scalar reduction; the shared dispatch
@@ -306,9 +318,19 @@ def main():
         return out
 
     t0 = time.perf_counter()
-    f1 = _timed(jax.jit(lambda c, k: f_chained(c, k, 1)), fcloud, keys[0], iters=3)
-    f3 = _timed(jax.jit(lambda c, k: f_chained(c, k, 3)), fcloud, keys[0], iters=3)
+    fc1 = jax.jit(lambda c, k: f_chained(c, k, 1))
+    fc3 = jax.jit(lambda c, k: f_chained(c, k, 3))
+    f1 = _timed(fc1, fcloud, keys[0], iters=3)
+    f3 = _timed(fc3, fcloud, keys[0], iters=3)
     t_window = (f3 - f1) / 2.0
+    if t_window <= 0:
+        # a tunnel hiccup inflated one measurement; remeasure once, then
+        # fall back to the RPC-inclusive x3 mean as a valid upper bound
+        f1 = _timed(fc1, fcloud, keys[0], iters=3)
+        f3 = _timed(fc3, fcloud, keys[0], iters=3)
+        t_window = (f3 - f1) / 2.0
+        if t_window <= 0:
+            t_window = f3 / 3.0
     frames_per_s = fcfg.accumulate_count / t_window
     log(
         f"fullscale (authentic 0.015 leaf): {t_window*1e3:.1f} ms/window device "
