@@ -126,9 +126,13 @@ def main():
     np.asarray(chain2(clouds, keys))
     log(f"compile+first chained batch: {time.perf_counter() - t0:.2f}s")
 
+    remeasured = []  # recorded in the JSON: which numbers came from a retry
+
     t2 = _timed(chain2, clouds, keys, iters=4)
     t10 = _timed(chain10, clouds, keys, iters=4)
     if t10 <= t2:  # tunnel hiccup inflated a measurement: remeasure once
+        remeasured.append("batch_marginal")
+        log("note: non-physical batch marginal (t10 <= t2) — remeasuring once")
         t2 = _timed(chain2, clouds, keys, iters=4)
         t10 = _timed(chain10, clouds, keys, iters=4)
     t_batch = (t10 - t2) / 8.0  # marginal = steady-state batch time
@@ -167,6 +171,8 @@ def main():
     s2 = _timed(cs2, c0, keys[0], iters=4)
     s12 = _timed(cs12, c0, keys[0], iters=4)
     if s12 <= s2:  # tunnel hiccup: remeasure once
+        remeasured.append("single_scan_marginal")
+        log("note: non-physical single-scan marginal (s12 <= s2) — remeasuring once")
         s2 = _timed(cs2, c0, keys[0], iters=4)
         s12 = _timed(cs12, c0, keys[0], iters=4)
     t_single_device = (s12 - s2) / 10.0
@@ -274,7 +280,7 @@ def main():
             )
         )
     )
-    for flag in ("cluster_overflow", "shadow_overflow"):
+    for flag in ("voxel_overflow", "cluster_overflow", "planes_truncated"):
         v = np.asarray(getattr(result.stats, flag))
         if v.any():
             log(f"WARNING: {flag} on {int(v.sum())}/{B} scans — capacities truncated")
@@ -326,6 +332,8 @@ def main():
     if t_window <= 0:
         # a tunnel hiccup inflated one measurement; remeasure once, then
         # fall back to the RPC-inclusive x3 mean as a valid upper bound
+        remeasured.append("fullscale_window")
+        log("note: non-physical fullscale marginal (f3 <= f1) — remeasuring once")
         f1 = _timed(fc1, fcloud, keys[0], iters=3)
         f3 = _timed(fc3, fcloud, keys[0], iters=3)
         t_window = (f3 - f1) / 2.0
@@ -404,6 +412,9 @@ def main():
                 "p50_latency_ms": round(t_single * 1e3, 3),
                 "p50_device_latency_ms": round(t_single_device * 1e3, 3),
                 "single_dispatch_batch_ms": round(t_single_dispatch * 1e3, 2),
+                # which marginals needed a tunnel-hiccup retry (ADVICE r2:
+                # records that a number came from a remeasurement)
+                "remeasured": remeasured,
                 "configs": baseline_configs,
             }
         )

@@ -82,10 +82,13 @@ class PipelineConfig:
     # programs.
     voxel_binning: str = "auto"
     # Output ordering of the sort engine: "lattice" = ascending packed
-    # (ix, iy, iz) (row-major, PCL-packed-leaf spirit); "morton" = Z-curve
-    # bit-interleaved order — rank distance tracks 3-D distance far
-    # better, so the banded kNN window (knn_band) can shrink at equal
-    # fidelity.  Requires the sort engine and a <= 24-bit lattice.
+    # (ix, iy, iz) (row-major, PCL-packed-leaf spirit; the default and the
+    # banded kNN's assumption); "morton" = Z-curve bit-interleaved order,
+    # kept only as an experiment — it was MEASURED WORSE for the banded
+    # kNN (Z-curve rank discontinuities scatter spatial neighbors: 11-20%
+    # of kNN neighbor sets perturbed at any band <= 512 vs 0.11% for
+    # lattice at band 512; docs/PERFORMANCE.md rejected list).  Requires
+    # the sort engine and a <= 24-bit lattice.
     voxel_order: str = "lattice"
 
     # ---- passthrough (cpp:944; dead code path :298-314) --------------------
@@ -94,16 +97,19 @@ class PipelineConfig:
     # ---- statistical outlier removal (cpp:966-967) -------------------------
     statistical_outlier_mean_k: int = 15
     statistical_outlier_std_dev_thresh: float = 1.0
-    # k-smallest reduction backend: "approx" = TPU-native lax.approx_min_k
-    # (recall 0.98, ~0.1% mean perturbation, 6.5x faster); "exact" =
-    # hierarchical top_k with exact PCL semantics; "banded" = rank-window
+    # k-smallest reduction backend.  Default "banded": rank-window
     # candidate pruning over the voxel-lattice-sorted cloud (the grid-hash
     # neighbor engine, SURVEY.md §7 step 4) with EXACT in-window k-min
-    # selection (Pallas VMEM extraction on TPU, bit-identical XLA loop
-    # elsewhere) — requires downsampled input (the pipeline falls back to
-    # "approx" when downsampling is disabled); "banded_approx" = the band
-    # window with approx_min_k selection, kept for comparison.
-    knn_backend: str = "approx"
+    # selection (the same plain-XLA extraction loop on every backend, so
+    # TPU and CPU agree bitwise) — the near-exact PCL-faithful engine
+    # (0.11% of kNN means perturbed at band 512; the band window is the
+    # ONLY deviation from PCL's exact kNN).  Requires downsampled input
+    # (the pipeline falls back to "approx" when downsampling is
+    # disabled).  Opt-in alternatives: "exact" = full-width hierarchical
+    # top_k (exact PCL semantics, no band); "approx" = lax.approx_min_k
+    # (recall 0.98, ~0.1% mean perturbation — fastest full-width form);
+    # "banded_approx" = the band window with approx_min_k selection.
+    knn_backend: str = "banded"
     # half-width (in rank space) of the "banded" candidate window; the
     # window is knn_row_tile + 2*knn_band columns wide.
     knn_band: int = 512
@@ -136,8 +142,9 @@ class PipelineConfig:
     max_voxels: int = 16384  # capacity after VoxelGrid downsample
     cluster_capacity: int = 4096  # capacity of the post-plane obstacle cloud
     max_clusters: int = 64  # max clusters reported (PointIndicesArray capacity)
-    shadow_max_lines: int = 32  # static bound on per-cluster line sweep (cpp:653)
-    shadow_max_steps: int = 256  # static bound on Bresenham steps (cpp:500,520)
+    # NOTE: the shadow sweep needs no line/step capacity — the closed-form
+    # rasterizer (ops/shadow.py) covers the reference's unbounded sweep
+    # (cpp:650-669) exactly for arbitrary cluster widths.
     cluster_max_iters: int = 64  # static bound on label-propagation sweeps
 
     # ------------------------------------------------------------------ grid
@@ -233,31 +240,72 @@ _KEY_MAP = {
 }
 
 
-def _flatten(d: Mapping[str, Any]) -> dict:
-    """Flatten the nested rosparam namespaces of params.yaml."""
+# Keys the reference reads from the NODE-NAMESPACE handle ``nh_pub``
+# (obstacle_detection.cpp:948-953) — everything else goes through the
+# private ``~`` handle (cpp:940-946, :955-975).  With the launch group ns
+# ``pointcloud_obstacle_processing`` (main.launch:11) and the node named
+# ``obstacle_detection``, that means: crop-box keys resolve at the TOP
+# level of params.yaml (:1-7), the rest under the ``obstacle_detection:``
+# sub-namespace (:9-31).
+_NODE_NS_KEYS = frozenset(["x_min", "x_max", "y_min", "y_max", "z_min", "z_max"])
+
+
+def _flatten_paths(d: Mapping[str, Any], prefix: str = "") -> dict:
+    """Flatten nested rosparam namespaces to slash-joined paths."""
     out: dict = {}
     for k, v in d.items():
+        path = f"{prefix}{k}"
         if isinstance(v, Mapping):
-            out.update(_flatten(v))
+            out.update(_flatten_paths(v, path + "/"))
         else:
-            out[k] = v
+            out[path] = v
     return out
 
 
-def config_from_dict(d: Mapping[str, Any], base: PipelineConfig | None = None) -> PipelineConfig:
+def config_from_dict(
+    d: Mapping[str, Any],
+    base: PipelineConfig | None = None,
+    node_name: str = "obstacle_detection",
+) -> PipelineConfig:
     """Build a config from a (possibly nested, rosparam-style) dict.
 
-    Mirrors the launch-file param resolution: YAML keys override code
-    defaults (obstacle_detection.cpp:940-975); unknown keys are ignored the
-    way rosparam ignores extra parameters.
+    Namespace resolution follows the reference's two NodeHandles
+    (obstacle_detection.cpp:934-935): crop-box keys (``_NODE_NS_KEYS``)
+    resolve from the node namespace — the TOP level of ``d`` — while every
+    other key resolves from the private ``~`` namespace — the
+    ``node_name`` sub-dict (cpp:948-953 vs :940-946).  A key present at
+    BOTH levels therefore resolves exactly as ROS would, not by dict
+    order.  For ergonomics, a key absent at its ROS location falls back to
+    any other namespace (flat test dicts keep working); keys found
+    nowhere keep the C++ ``nh.param`` defaults in ``base``.  Unknown keys
+    are ignored the way rosparam ignores extra parameters.
     """
     base = base or PipelineConfig()
-    flat = _flatten(d)
+    paths = _flatten_paths(d)
+    # group candidate values by leaf key, split by whether their immediate
+    # parent namespace is the node name (= the private ~ namespace).  This
+    # stays correct whether or not the dict carries the enclosing launch
+    # group namespace (main.launch:11) as an extra wrapper level.
+    private: dict = {}
+    node_ns: dict = {}
+    for p, v in paths.items():
+        parts = p.split("/")
+        leaf = parts[-1]
+        if len(parts) >= 2 and parts[-2] == node_name:
+            private[leaf] = v
+        else:
+            node_ns[leaf] = v
     kw = {}
-    for key, value in flat.items():
-        field = _KEY_MAP.get(key)
-        if field is not None:
-            kw[field] = value
+    for key, field in _KEY_MAP.items():
+        if field in kw:
+            continue  # an earlier (non-alias) key already resolved this field
+        preferred, other = (
+            (node_ns, private) if key in _NODE_NS_KEYS else (private, node_ns)
+        )
+        if key in preferred:
+            kw[field] = preferred[key]
+        elif key in other:  # ergonomic fallback: flat/partial dicts keep working
+            kw[field] = other[key]
     return base.replace(**kw)
 
 

@@ -176,8 +176,8 @@ def knn_mean_distances(
         d2 = jnp.where(c_valid[None, :], d2, big)
         d2 = jnp.where(q_ids[:, None] == c_ids[None, :], big, d2)
         if backend == "banded":
-            # exact k-min extraction in VMEM (Pallas on TPU; identical
-            # XLA loop elsewhere) — no approx_min_k recall loss
+            # exact in-window k-min extraction (plain XLA on every
+            # backend — see _kmin_mean) — no approx_min_k recall loss
             return _kmin_mean(d2, k, big)
         if backend == "exact":
             dk2 = _k_smallest(d2, k)

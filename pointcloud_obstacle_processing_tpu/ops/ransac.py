@@ -188,6 +188,10 @@ class SegmentPlanesResult(NamedTuple):
     nonplane_cloud: Cloud  # the reference's end-state planar_cloud (non-plane pts)
     plane_union: jax.Array  # [N] bool: union of all extracted plane inliers
     last_plane: jax.Array  # [N] bool: the reference's indices_cloud (last plane)
+    # [] bool: the static max_planes bound stopped the loop while the
+    # reference's unbounded while (cpp:379-387) would have continued —
+    # observable truncation, like every other capacity cap in the pipeline.
+    truncated: jax.Array
 
 
 def segment_planes(
@@ -233,10 +237,20 @@ def segment_planes(
         i = i + res.found.astype(jnp.int32)
         return (valid, key, coeffs, pvalid, i, res.found, union, res.inliers)
 
-    valid, _, coeffs, pvalid, i, _, union, last = lax.while_loop(cond, body, state)
+    valid, _, coeffs, pvalid, i, found, union, last = lax.while_loop(cond, body, state)
+    # the loop stopped ONLY because of the static bound: >30% of points
+    # remain, the last round still found a plane, but i hit max_planes —
+    # the reference would have extracted another plane (cpp:379).
+    remaining = jnp.sum(valid.astype(jnp.int32))
+    truncated = (
+        (remaining.astype(jnp.float32) > frac * n0.astype(jnp.float32))
+        & found
+        & (i >= max_planes)
+    )
     return SegmentPlanesResult(
         planes=PlaneModel(coeffs=coeffs, valid=pvalid, num_planes=i),
         nonplane_cloud=Cloud(points=cloud.points, valid=valid),
         plane_union=union,
         last_plane=last,
+        truncated=truncated,
     )

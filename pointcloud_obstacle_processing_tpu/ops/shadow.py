@@ -18,13 +18,30 @@ Three reference functions are rebuilt here as one vmapped-over-clusters op:
   steep/shallow branches, bounds-guarded writes.
 
 TPU-native design: per-cluster extremes are masked reduces shared across a
-vmap over cluster slots; the line sweep is a static ``shadow_max_lines``
-bound with activity masks; and rasterization is **dense** — the line
-equation is evaluated for every (line, grid cell) pair and OR-reduced over
-lines, a fused [M*L, H, W] elementwise pass on the VPU.  No scatter (a
-materialized per-step write-index scatter costs ~10ms on TPU; this runs in
-~0.1ms) and no sequential step loop.  All writes store the same
-``grid_opacity`` value, so write order is immaterial.
+vmap over cluster slots, and the whole ``n_lines``-line sweep is rasterized
+in **closed form per cluster**: all lines of one sweep share their
+steep/back classification and gradient (the shift moves both endpoints by
+the same integer), so the union of the swept lines' cells collapses to an
+O(1)-per-cell test — no per-line axis at all ([M, H, W] instead of
+[M*L, H, W]), and crucially NO static line bound: the sweep is exact for
+arbitrarily wide clusters, matching the reference's unbounded loop
+(cpp:653) with zero truncation.  Derivation per branch (u = the rasterizer's
+iteration variable; line i shifts both endpoints' columns by -i):
+
+* steep (iterate rows): line i writes cells (r, fy(r)-i) and (r, fy(r)-i+1)
+  for r in the row span, fy(r) = floor(y0 + g*(r - x0)) — the integer shift
+  commutes with floor, so the sweep union is the column band
+  ``fy(r)-(n-1) <= c <= fy(r)+1``.
+* shallow (iterate cols): line i evaluated at column c equals the
+  unshifted line at u = c+i (the shift cancels inside ``y0 + g*(u - x0)``
+  bitwise — u-x0 is an exact integer difference), so with the +1-cell
+  writes the union over i in [0, n) is ``exists u in
+  [max(x0, c-1), min(x1, c+n-1)]: fy(u) == r`` — and fy is monotone in u
+  with per-step increments <= |g| <= 1, so that is exactly
+  ``min(fy(u_lo), fy(u_hi)) <= r <= max(fy(u_lo), fy(u_hi))``.
+
+All writes store the same ``grid_opacity`` value, so write order is
+immaterial and the union is the exact final grid.
 """
 
 from __future__ import annotations
@@ -46,7 +63,6 @@ _INF = jnp.float32(jnp.inf)
 
 class ShadowResult(NamedTuple):
     grid: jax.Array  # [H, W] int8 with shadow cells painted
-    overflow: jax.Array  # [] bool: a cluster needed more than shadow_max_lines
 
 
 def _grid_cell_colrow(x, y, config: PipelineConfig):
@@ -67,16 +83,12 @@ def cast_shadows(
 ) -> ShadowResult:
     """Paint every cluster's shadow onto ``grid`` (int8 [H, W]).
 
-    ``overflow`` flags any cluster whose sweep needed more than the static
-    ``shadow_max_lines`` bound (a cluster wider than ``(L-3)*block_size`` in
-    the sensor frame) — the extra lines are dropped relative to the
-    reference's unbounded loop (cpp:653), so callers can observe the
-    truncation (StageStats.shadow_overflow) instead of silently losing
-    shadow coverage.
-    """
+    The sweep width ``ceil(width/block)+3`` is a traced per-cluster value
+    with NO static bound — the closed-form union rasterization (module
+    docstring) covers arbitrarily many lines at O(H*W) per cluster, exactly
+    like the reference's unbounded loop (cpp:650-669)."""
     H, W = config.grid_height, config.grid_width
     M = clusters.sizes.shape[0]
-    L = config.shadow_max_lines
 
     # world -> sensor once for the whole buffer (cpp:592-604 does it per
     # cluster on copied points; here it's one shared rotate+add).
@@ -125,20 +137,12 @@ def cast_shadows(
             active,
         )
 
-    s_col, s_row, e_col, e_row, n_lines_raw, active = jax.vmap(per_cluster)(slot_ids)
-    overflow = jnp.any(active & (n_lines_raw > L))
-    n_lines = jnp.minimum(n_lines_raw, L)
+    s_col, s_row, e_col, e_row, n_lines, active = jax.vmap(per_cluster)(slot_ids)
 
-    # ---- line sweep: line i shifts both columns by -i (cpp:653-669) --------
-    line_ids = lax.broadcasted_iota(jnp.int32, (M, L), 1)
-    lx0 = s_col[:, None] - line_ids  # v1.x
-    ly0 = jnp.broadcast_to(s_row[:, None], (M, L))  # v1.y
-    lx1 = e_col[:, None] - line_ids  # v2.x
-    ly1 = jnp.broadcast_to(e_row[:, None], (M, L))
-    line_on = active[:, None] & (line_ids < n_lines[:, None])
-
-    # ---- traceShadow (cpp:467-538), vectorized over [M, L] lines -----------
-    x0, y0, x1, y1 = lx0, ly0, lx1, ly1
+    # ---- traceShadow (cpp:467-538) sweep union, closed form per cluster ----
+    # All lines of a sweep share steep/back/gradient: shifting both endpoint
+    # columns by -i changes neither dx nor dy.
+    x0, y0, x1, y1 = s_col, s_row, e_col, e_row  # line 0 (i = 0), [M] each
     steep = jnp.abs(y1 - y0) > jnp.abs(x1 - x0)
     x0, y0 = jnp.where(steep, y0, x0), jnp.where(steep, x0, y0)
     x1, y1 = jnp.where(steep, y1, x1), jnp.where(steep, x1, y1)
@@ -150,42 +154,50 @@ def cast_shadows(
     dy = (y1 - y0).astype(jnp.float32)
     gradient = jnp.where(dx == 0.0, jnp.float32(1.0), dy / jnp.where(dx == 0.0, 1.0, dx))
 
-    # Dense rasterization: instead of materializing per-step write indices
-    # and scattering (a ~1M-element scatter: ~10ms on TPU), evaluate the
-    # line equation for every (line, grid-cell) pair and OR-reduce over
-    # lines — a [M*L, H, W] fused elementwise reduce the VPU eats in ~0.1ms.
-    #
     # Deviations from the literal C++ (both documented, both C++ bugs):
     # * ``intersectY`` is evaluated closed-form (y0 + gradient*s) instead of
-    #   the float32 += accumulation — identical except ~1-ulp boundary cells;
+    #   the float32 += accumulation — identical except ~1-ulp boundary cells
+    #   (for steep sweeps the -i endpoint shift is applied after the floor
+    #   rather than inside the sum: same ~1-ulp class);
     # * writes that would wrap across a row via the flat ``idx+1`` increment
     #   (cpp:509, :531) or land out-of-grid via flat-index wraparound are
     #   dropped instead of wrapping.
-    nl = x0.size  # M*L lines
-    fx0 = x0.reshape(nl, 1, 1).astype(jnp.float32)
-    y0f = y0.reshape(nl, 1, 1).astype(jnp.float32)
-    ix0 = x0.reshape(nl, 1, 1)
-    ix1 = x1.reshape(nl, 1, 1)
-    g = gradient.reshape(nl, 1, 1)
-    stp = steep.reshape(nl, 1, 1)
-    on = line_on.reshape(nl, 1, 1)
+    fx0 = x0.reshape(M, 1, 1).astype(jnp.float32)
+    y0f = y0.reshape(M, 1, 1).astype(jnp.float32)
+    ix0 = x0.reshape(M, 1, 1)
+    ix1 = x1.reshape(M, 1, 1)
+    g = gradient.reshape(M, 1, 1)
+    stp = steep.reshape(M, 1, 1)
+    n = n_lines.reshape(M, 1, 1)
+    on = active.reshape(M, 1, 1)
 
     rows = lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
     cols = lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
 
-    # steep: iterate s over rows; cells (r, fy(r)) and (r, fy(r)+1)
+    # steep: iterate s over rows; line i writes (r, fy(r)-i) and (r, fy(r)-i+1)
+    # for i in [0, n)  =>  column band [fy(r)-(n-1), fy(r)+1]
     fy_r = jnp.floor(y0f + g * (rows.astype(jnp.float32) - fx0)).astype(jnp.int32)
     steep_hit = (
-        (rows >= ix0) & (rows <= ix1) & ((fy_r == cols) | (fy_r == cols - 1))
+        (rows >= ix0) & (rows <= ix1)
+        & (cols >= fy_r - (n - 1)) & (cols <= fy_r + 1)
     )
 
-    # shallow: iterate s over cols; cells (fy(c), c) and (fy(c), c+1)
-    fy_c = jnp.floor(y0f + g * (cols.astype(jnp.float32) - fx0)).astype(jnp.int32)
-    shallow_hit = ((cols >= ix0) & (cols <= ix1) & (fy_c == rows)) | (
-        (cols - 1 >= ix0) & (cols - 1 <= ix1)
-        & (jnp.floor(y0f + g * (cols.astype(jnp.float32) - 1.0 - fx0)).astype(jnp.int32) == rows)
+    # shallow: iterate s over cols; line i evaluated at column c equals the
+    # unshifted line at u = c+i, and the +1-cell write adds u = c-1+i, so
+    # the sweep union per cell is "exists u in [max(x0, c-1), min(x1, c+n-1)]
+    # with fy(u) == r".  fy is monotone with per-integer-step increments
+    # <= |g| <= 1 (shallow), so the attained set is every integer between
+    # the endpoint values.
+    u_lo = jnp.maximum(ix0, cols - 1)
+    u_hi = jnp.minimum(ix1, cols + (n - 1))
+    fy_lo = jnp.floor(y0f + g * (u_lo.astype(jnp.float32) - fx0)).astype(jnp.int32)
+    fy_hi = jnp.floor(y0f + g * (u_hi.astype(jnp.float32) - fx0)).astype(jnp.int32)
+    shallow_hit = (
+        (u_lo <= u_hi)
+        & (rows >= jnp.minimum(fy_lo, fy_hi))
+        & (rows <= jnp.maximum(fy_lo, fy_hi))
     )
 
     hit = jnp.any(on & jnp.where(stp, steep_hit, shallow_hit), axis=0)
     out = jnp.where(hit, jnp.int8(config.grid_opacity), jnp.asarray(grid))
-    return ShadowResult(grid=out, overflow=overflow)
+    return ShadowResult(grid=out)

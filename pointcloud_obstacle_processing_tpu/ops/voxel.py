@@ -190,9 +190,12 @@ def _morton_schedule(dims):
     while each axis still has bits (axis widths follow the box dims, so
     e.g. the fullscale [301, 253, 51] lattice packs into 9+8+6 = 23 bits —
     within f32's exact-integer range, which the compaction key channel
-    requires).  The resulting order is a Z-curve: rank distance tracks 3-D
-    distance far better than row-major lattice order, which is what lets
-    the banded kNN window shrink at equal fidelity."""
+    requires).  The resulting order is a Z-curve.  NOTE: kept only as an
+    experiment — Morton order was MEASURED WORSE for the banded kNN than
+    row-major lattice order (Z-curve rank discontinuities scatter spatial
+    neighbors far apart in rank: 11-20% of kNN neighbor sets perturbed at
+    any band <= 512, vs 0.11% for lattice at band 512; see
+    docs/PERFORMANCE.md's rejected list)."""
     bits = [max(1, int(d - 1).bit_length()) for d in dims]
     sched = []
     cnt = [0, 0, 0]
@@ -379,12 +382,22 @@ def voxel_partials(
         return _sort_segment_partials(
             pts, valid, ijk, imin, dims, leaf_size, capacity, order
         )
+    if binning == "sort":
+        # An EXPLICIT engine request must not silently change engines:
+        # the dense fallbacks alter sum-precision semantics (bf16 splits
+        # under sum_precision='fast' instead of the sort engine's full-f32
+        # sums).  Only binning='auto' may fall through.
+        raise ValueError(
+            "binning='sort' requires packable bounds and capacity % 128 == 0 "
+            f"(got bounds={'packable' if packable else bounds!r}, n={n}); "
+            "use binning='auto' to allow the dense-engine fallback"
+        )
     if order == "morton":
         raise ValueError(
             "voxel_order='morton' requires the sort engine (packable bounds, "
             "capacity % 128 == 0, binning in ('auto', 'sort'))"
         )
-    if packable and binning in ("auto", "sort", "mxu", "scatter"):
+    if packable and binning in ("auto", "mxu", "scatter"):
         # Dense-bin paths: bin into the crop box's full voxel lattice
         # (MXU matmuls or one fused scatter-add), then block-compact the
         # occupied bins.  No sort at all.

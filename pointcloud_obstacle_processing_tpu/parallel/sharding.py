@@ -106,6 +106,15 @@ def process_scan_point_sharded(
     ``cloud_shard`` holds this chip's [max_points / n_shards] slice.  The
     result is replicated across the ``points`` axis.
     """
+    if config.voxel_order != "lattice":
+        # merge_voxel_partials re-orders through the dense packed-key bins,
+        # which emit ascending LATTICE order — silently ignoring a morton
+        # request would diverge from the single-chip output ordering.
+        raise ValueError(
+            "the point-sharded path only supports voxel_order='lattice' "
+            f"(got {config.voxel_order!r}: the sort-free shard merge emits "
+            "lattice order)"
+        )
     pts = cloud_shard.points
     n_in_local = cloud_shard.count()
     n_in = lax.psum(n_in_local, axis_name)
@@ -144,6 +153,7 @@ def process_scan_point_sharded(
         bounds,
         config.voxel_sum_precision,
         config.voxel_binning,
+        config.voxel_order,  # 'lattice' (guarded above): shards and merge agree
     )
     merged = merge_voxel_partials(
         VoxelPartials(
@@ -171,6 +181,10 @@ def process_scan_point_sharded(
         key,
         config,
         world_from_sensor,
+        # a shard-local table overflow drops voxels before the merge ever
+        # sees them, so OR the pre-merge flags across shards too
+        voxel_overflow=vox.overflow
+        | (lax.psum(parts.overflow.astype(jnp.int32), axis_name) > 0),
     )
 
 

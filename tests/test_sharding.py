@@ -106,6 +106,45 @@ def test_batched_pipeline_shapes(rng):
     assert out.centroids.points.xyzr.shape == (4, CFG.max_clusters, 4)
 
 
+@pytest.mark.slow
+def test_point_sharded_fullscale_window(rng):
+    """SP at the authentic fullscale shape (VERDICT r2 next #8): an 8-shard
+    CPU mesh pushes a REFERENCE_FULLSCALE_CONFIG-shaped window (2M-point
+    capacity, 0.015 leaf => 3.8M-bin lattice on the scatter merge path,
+    262144-voxel table, 16384-point cluster stage) through dp_sp_pipeline
+    end-to-end — the >HBM motivation path — and bounds its disagreement
+    against the single-chip run like the small-scale test below."""
+    from pointcloud_obstacle_processing_tpu.models import REFERENCE_FULLSCALE_CONFIG
+
+    fcfg = REFERENCE_FULLSCALE_CONFIG
+    assert fcfg.max_points == 2 * 1024 * 1024
+    # a scaled scene (~0.4M valid points): shapes/capacities stay authentic,
+    # the data volume keeps CPU runtime tractable
+    spec = SceneSpec(n_ground=180_000, n_rocks=4, points_per_rock=2_000, n_noise=1_000)
+    parts = [make_scene(seed=40 + i, spec=spec).points for i in range(2)]
+    fpts = np.concatenate(parts)[: fcfg.max_points]
+    pts = np.zeros((1, fcfg.max_points, 3), np.float32)
+    valid = np.zeros((1, fcfg.max_points), bool)
+    pts[0, : len(fpts)] = fpts
+    valid[0, : len(fpts)] = True
+    clouds = Cloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
+    keys = jax.random.split(jax.random.PRNGKey(7), 1)
+
+    mesh = make_mesh({"data": 1, "points": 8})
+    out = dp_sp_pipeline(fcfg, mesh)(clouds, keys)
+
+    single = jax.jit(lambda c, k: process_scan(c, k, fcfg))(
+        jax.tree_util.tree_map(lambda x: x[0], clouds), keys[0]
+    )
+    assert int(out.stats.cropped_points[0]) == int(single.stats.cropped_points)
+    assert int(out.stats.voxel_points[0]) == int(single.stats.voxel_points)
+    assert not bool(out.stats.voxel_overflow[0])
+    assert int(out.clusters.num_clusters[0]) == int(single.clusters.num_clusters)
+    frac = float(np.mean(np.asarray(out.grid.data[0]) != np.asarray(single.grid.data)))
+    print(f"fullscale SP grid disagreement: {frac:.5f}")
+    assert frac < 0.01
+
+
 def test_point_shard_count_disagreement_scaling(rng):
     """Quantify float-summation-order disagreement on the point-sharded
     path as the shard count grows (VERDICT r1 weak #6): per-shard voxel
