@@ -36,6 +36,75 @@ from ..types import Cloud
 
 __all__ = ["knn_mean_distances", "remove_statistical_outliers", "OutlierResult"]
 
+def _batcher_pairs(n: int) -> list:
+    """Batcher odd-even mergesort comparator list for n elements (ascending;
+    63 comparators for n=16)."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
+
+_BATCHER16 = _batcher_pairs(16)
+
+
+def _sortnet_mean(planes: list, k: int, big: float) -> jax.Array:
+    """Sorting-network k-smallest mean over 16 position planes.
+
+    ``planes``: 16 arrays [T, nc]; plane p, chunk c holds window column
+    c*16 + p.  Selection by sorting networks expressed on the POSITION
+    axis: every comparator is an elementwise min/max over two whole
+    contiguous [T, nc] planes (no gathers, no per-row sorts — the TPU-fatal
+    forms).  Three phases:
+
+    1. Batcher-sort each 16-column chunk (63 comparators = ~7.9 ops/elem);
+    2. repeatedly merge chunk pairs, keeping the 16 smallest of each 32:
+       ``min(a_i, b_{15-i})`` (the bitonic half-cleaner) + a 4-stage
+       bitonic resort, halving the chunk axis each round (~5 ops/elem of
+       output, geometric total ~5 ops/input-elem);
+    3. the final 16 sorted values -> masked mean of the k smallest sqrt'd.
+
+    ~13 touches/element total vs the 15-pass extraction's ~45; measured
+    stage-level (distances included) on v5e: 31.3 -> 22.8 ms/batch-of-32
+    at [16384 rows, W=1280] and 47.0 -> 39.6 at [24576, W=1280]
+    (scripts/tpu_experiments11.py) — and, like the extraction, plain XLA
+    min/max/sqrt in a fixed order on every backend, so TPU and CPU agree
+    bitwise.  Requires k <= 16 (PCL meanK = 15); ``_kmin_mean`` remains
+    the general fallback.
+    """
+    P = list(planes)
+    for i, j in _BATCHER16:
+        lo, hi = jnp.minimum(P[i], P[j]), jnp.maximum(P[i], P[j])
+        P[i], P[j] = lo, hi
+    while P[0].shape[-1] > 1:
+        nc = P[0].shape[-1]
+        if nc % 2:
+            pad = jnp.full_like(P[0][..., :1], big)
+            P = [jnp.concatenate([p, pad], axis=-1) for p in P]
+        A = [p[..., 0::2] for p in P]
+        B = [p[..., 1::2] for p in P]
+        P = [jnp.minimum(A[i], B[15 - i]) for i in range(16)]
+        for d in (8, 4, 2, 1):  # bitonic resort (trivial at the final nc=1)
+            for i in range(16):
+                if i % (2 * d) < d:
+                    lo, hi = jnp.minimum(P[i], P[i + d]), jnp.maximum(P[i], P[i + d])
+                    P[i], P[i + d] = lo, hi
+    vals = jnp.stack([p[..., 0] for p in P])  # [16, T] ascending
+    pos = lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    take = (vals < big * 0.5) & (pos < k)
+    s = jnp.sum(jnp.where(take, jnp.sqrt(vals), 0.0), axis=0)
+    cnt = jnp.sum(take.astype(jnp.float32), axis=0)
+    return s / jnp.maximum(cnt, 1.0)
+
+
 def _kmin_mean(d2: jax.Array, k: int, big: float) -> jax.Array:
     """[T, W] squared distances -> [T] mean of the k smallest sqrt'd,
     excluding sentinel entries (>= big/2), by iterative exact extraction.
@@ -207,6 +276,32 @@ def knn_mean_distances(
             0,
             n - width,
         )
+        use_sortnet = backend == "banded" and width % 16 == 0 and k <= 16
+
+        def _score_tile_planes(q, q_sq, q_ids, cols, cols_sq, c_ids, c_valid):
+            """Banded tile in PLANE layout: the [T, W] distance tile is
+            computed directly as 16 position planes [16, T, W/16] (plane p,
+            chunk c = window column c*16+p) by reshaping the column
+            operands — no transpose of the big tile — and selected by the
+            sorting network (``_sortnet_mean``).  The distance arithmetic
+            is the same explicit full-f32 mul-add expression as
+            ``_score_tile``'s."""
+            nc = width // 16
+
+            def as_planes(v):  # [W] -> [16, 1, nc]
+                return v.reshape(nc, 16).T[:, None, :]
+
+            cx, cy, cz = (as_planes(cols[:, a]) for a in range(3))
+            cross = (
+                q[:, 0][None, :, None] * cx
+                + q[:, 1][None, :, None] * cy
+                + q[:, 2][None, :, None] * cz
+            )
+            d2 = q_sq[None, :, None] + as_planes(cols_sq) - 2.0 * cross
+            d2 = jnp.maximum(d2, 0.0)
+            d2 = jnp.where(as_planes(c_valid), d2, big)
+            d2 = jnp.where(q_ids[None, :, None] == as_planes(c_ids), big, d2)
+            return _sortnet_mean([d2[i] for i in range(16)], k, big)
 
         def band_tile_fn(args):
             q, qq, qi, start = args
@@ -214,6 +309,8 @@ def knn_mean_distances(
             cols_sq = lax.dynamic_slice(p_sq, (start,), (width,))
             c_ids = lax.dynamic_slice(row_ids, (start,), (width,))
             c_valid = lax.dynamic_slice(valid, (start,), (width,))
+            if use_sortnet:
+                return _score_tile_planes(q, qq, qi, cols, cols_sq, c_ids, c_valid)
             return _score_tile(q, qq, qi, cols, cols_sq, c_ids, c_valid)
 
         out = lax.map(
