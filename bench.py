@@ -280,7 +280,10 @@ def main():
             )
         )
     )
-    for flag in ("voxel_overflow", "cluster_overflow", "planes_truncated"):
+    for flag in (
+        "voxel_overflow", "cluster_overflow", "cluster_band_overflow",
+        "planes_truncated",
+    ):
         v = np.asarray(getattr(result.stats, flag))
         if v.any():
             log(f"WARNING: {flag} on {int(v.sum())}/{B} scans — capacities truncated")

@@ -132,6 +132,14 @@ class PipelineConfig:
     euc_cluster_tolerance: float = 0.4
     euc_min_cluster_size: int = 5
     euc_max_cluster_size: int = 20000
+    # Banded cluster sweep: 0 = full C x C sweep; > 0 = each query tile
+    # scores only a window of this many columns placed by the x monotone
+    # envelopes of the lattice-ordered cloud (exact when the window covers
+    # every tolerance edge; a too-small window raises the observable
+    # StageStats.cluster_band_overflow).  Worth it when cluster_capacity
+    # is large (fullscale: 40960 capacity, 16384 window = 2.5x less sweep
+    # work); pointless below ~4k capacity.  Must be a multiple of 128.
+    cluster_band_window: int = 0
 
     # ---- dormant/unused reference knobs kept for API parity ----------------
     convex_hull_alpha: float = 180.0  # read at cpp:975, never used
@@ -185,6 +193,8 @@ class PipelineConfig:
             raise ValueError(f"unknown voxel_order {self.voxel_order!r}")
         if self.voxel_order == "morton" and self.voxel_binning not in ("auto", "sort"):
             raise ValueError("voxel_order='morton' requires the sort engine")
+        if self.cluster_band_window % 128:
+            raise ValueError("cluster_band_window must be a multiple of 128")
 
 
 # params.yaml:1-31 values — the configuration the robot actually shipped with.

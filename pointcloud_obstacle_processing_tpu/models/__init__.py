@@ -22,10 +22,16 @@ __all__ = [
 # The benchmark/flagship configuration: 100k-pt scans in a 128Ki buffer
 # (BASELINE.json north-star shape).  kNN runs the banded (rank-window
 # grid-pruned) engine over the voxel-lattice-sorted cloud.
+# Capacities are sized to the workload with NO truncation (round 3): the
+# bench scenes occupy ~20.9-21.6k voxels at leaf 0.04 (the old 16384 cap
+# silently dropped ~24% of them) and ~470-600 non-plane points
+# (cluster_capacity 1024 = ~1.7x headroom; every cap is watched by a
+# StageStats overflow flag).  knn_band=512 re-validated at this capacity:
+# 0.13% of kNN means perturbed vs exact (scripts/tpu_experiments11.py).
 FLAGSHIP_CONFIG = REFERENCE_YAML_CONFIG.replace(
     max_points=131072,
-    max_voxels=16384,
-    cluster_capacity=4096,
+    max_voxels=24576,
+    cluster_capacity=1024,
     max_clusters=64,
     downsample_leaf_size=0.04,
     knn_backend="banded",
@@ -34,13 +40,20 @@ FLAGSHIP_CONFIG = REFERENCE_YAML_CONFIG.replace(
 
 # The authentic reference workload at full fidelity: a 200-frame
 # accumulation window (params.yaml:10) of ~10k-point scans at the shipped
-# 0.015 leaf — 2M-point windows, ~65k voxels, no capacity truncation.
+# 0.015 leaf — 2M-point windows, ~205k voxels on the bench arena.
 # knn_band widened: at leaf 0.015 a rank band must span more voxels per
 # x-slab (~215 valid/slab) to cover the same metric radius.
+# cluster_capacity 40960 (round 3): the bench window's non-plane cloud is
+# ~37.6k points — the old 16384 cap silently truncated 56% of it (caught
+# by the new StageStats.cluster_overflow).  The O(C^2) sweep cost at the
+# honest capacity is held down by the banded sweep (cluster_band_window:
+# max x-envelope span measured ~12.4k on the bench scenes, 16384 = 32%
+# headroom, guarded by cluster_band_overflow).
 REFERENCE_FULLSCALE_CONFIG = REFERENCE_YAML_CONFIG.replace(
     max_points=2 * 1024 * 1024,
     max_voxels=262144,
-    cluster_capacity=16384,
+    cluster_capacity=40960,
+    cluster_band_window=16384,
     max_clusters=64,
     knn_backend="banded",
     knn_band=1792,

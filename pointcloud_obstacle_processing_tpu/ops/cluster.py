@@ -102,6 +102,65 @@ def _pallas_sweep_jump(
     return out[:, 0]
 
 
+def _band_starts(
+    pts: jax.Array, valid: jax.Array, tile: int, window: int, tolerance: float
+):
+    """Per-query-tile column-window starts for the BANDED sweep.
+
+    The compacted non-plane cloud arrives in voxel-lattice order, so x is
+    non-decreasing up to intra-voxel jitter.  Every tolerance edge from a
+    tile-t query therefore lands in a contiguous rank range; bound it
+    soundly with monotone envelopes (no sortedness assumption):
+
+      lo(t) = count of j with runmax_x[j] < min_x(tile) - tol   (all
+              earlier j are strictly out of reach: their x < min_x - tol)
+      hi(t) = n - count of j with runmin-from-right_x[j] > max_x(tile) + tol
+
+    Starts are clamped into [0, n - window] and aligned DOWN to 128 (DMA
+    minor-dim alignment); ``overflow`` flags any tile whose true span
+    hi - start exceeds ``window`` — edges past the window are dropped
+    (labels may split), so callers surface it (StageStats).  Invalid
+    (padding) points are parked at the valid centroid by the caller, so
+    they never stretch the envelopes.
+    """
+    n = pts.shape[0]
+    tiles = n // tile
+    tol = jnp.float32(tolerance)
+    # invalid points (parked at the centroid by the caller) are masked out
+    # of the envelopes: they carry no edges, so the window need not cover
+    # them — and their parked x would otherwise poison the suffix min
+    x_hi = jnp.where(valid, pts[:, 0], -jnp.inf)  # for the prefix max
+    x_lo = jnp.where(valid, pts[:, 0], jnp.inf)  # for the suffix min
+
+    runmax = x_hi
+    d = 1
+    while d < n:  # prefix running max, log-shift steps
+        shifted = jnp.concatenate([jnp.full((d,), -jnp.inf, runmax.dtype), runmax[:-d]])
+        runmax = jnp.maximum(runmax, shifted)
+        d *= 2
+    runmin_r = x_lo
+    d = 1
+    while d < n:  # suffix running min
+        shifted = jnp.concatenate([runmin_r[d:], jnp.full((d,), jnp.inf, runmin_r.dtype)])
+        runmin_r = jnp.minimum(runmin_r, shifted)
+        d *= 2
+
+    xt = pts[:, 0].reshape(tiles, tile)
+    vt = valid.reshape(tiles, tile)
+    tmin = jnp.min(jnp.where(vt, xt, jnp.inf), axis=1)
+    tmax = jnp.max(jnp.where(vt, xt, -jnp.inf), axis=1)
+    lo = jnp.sum(
+        (runmax[None, :] < (tmin[:, None] - tol)).astype(jnp.int32), axis=1
+    )
+    hi = n - jnp.sum(
+        (runmin_r[None, :] > (tmax[:, None] + tol)).astype(jnp.int32), axis=1
+    )
+    start = jnp.clip(lo, 0, n - window) // 128 * 128
+    # an all-invalid tile has tmin=+inf => lo=n; clamp handled above
+    overflow = jnp.any((hi - start) > window)
+    return start, overflow
+
+
 def _xla_sweep_jump(
     pts: jax.Array, valid: jax.Array, labels: jax.Array, tol2, row_tile: int
 ) -> jax.Array:
@@ -145,17 +204,161 @@ def _xla_sweep_jump(
     return out.reshape(n_q)[:n]
 
 
+def _xla_sweep_jump_banded(
+    pts, valid, labels, tol2, tile: int, window: int, starts
+) -> jax.Array:
+    """Banded XLA sweep: query tile t scores only its ``window`` columns at
+    ``starts[t]`` (the x-envelope window, ``_band_starts``) — the same
+    fused expression as ``_xla_sweep_jump`` over a dynamic_slice."""
+    n = pts.shape[0]
+    tiles = n // tile
+    p_sq = jnp.sum(pts * pts, axis=-1)
+    labels_col = jnp.where(valid, labels, jnp.int32(n))
+
+    def tile_fn(args):
+        q, q_sq, q_lab, q_valid, start = args
+        cols = lax.dynamic_slice(pts, (start, 0), (window, 3))
+        cols_sq = lax.dynamic_slice(p_sq, (start,), (window,))
+        c_lab = lax.dynamic_slice(labels_col, (start,), (window,))
+        c_valid = lax.dynamic_slice(valid, (start,), (window,))
+        col_ids = start + lax.broadcasted_iota(jnp.int32, (1, window), 1)
+        cross = (
+            q[:, 0:1] * cols[None, :, 0]
+            + q[:, 1:2] * cols[None, :, 1]
+            + q[:, 2:3] * cols[None, :, 2]
+        )
+        d2 = q_sq[:, None] + cols_sq[None, :] - 2.0 * cross
+        adj = (d2 <= tol2) & c_valid[None, :] & q_valid[:, None]
+        hit = adj | (q_lab[:, None] == col_ids)
+        cand = jnp.where(hit, c_lab[None, :], jnp.int32(n))
+        return jnp.minimum(jnp.min(cand, axis=1), q_lab)
+
+    out = lax.map(
+        tile_fn,
+        (
+            pts.reshape(tiles, tile, 3),
+            p_sq.reshape(tiles, tile),
+            labels.reshape(tiles, tile),
+            valid.reshape(tiles, tile),
+            starts,
+        ),
+    )
+    return out.reshape(n)
+
+
+def _pallas_sweep_jump_banded(
+    pts, valid, labels, tol2: float, tile: int, window: int, starts
+) -> jax.Array:
+    """Banded fused sweep as a Pallas kernel: per query tile, one DMA pulls
+    the tile's ``window`` columns (x/y/z/|p|²/valid + labels) from HBM at
+    the 128-aligned ``starts[t]`` offset into VMEM scratch, then the same
+    distance/adjacency/jump/lane-min arithmetic as ``_pallas_sweep_jump``
+    runs over W-chunked slabs (the [T, window] tile would blow VMEM at
+    window=16k).  Work is C*window instead of C*C — 2.5x at the fullscale
+    shape (40960 capacity, 16384 window)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = pts.shape[0]
+    tiles = C // tile
+    sq = jnp.sum(pts * pts, axis=-1)
+    # one [8, C] f32 column table (Mosaic DMA slices must be 8-aligned on
+    # the sublane dim): x, y, z, |p|^2, valid, label (exact as f32 for
+    # C < 2^24), 2 pad rows.  Labels change per sweep; restacking the
+    # table is an elementwise copy, trivial next to the sweep itself.
+    zero = jnp.zeros_like(sq)
+    fcols = jnp.stack(
+        [
+            pts[:, 0], pts[:, 1], pts[:, 2], sq,
+            valid.astype(jnp.float32),
+            jnp.where(valid, labels, jnp.int32(C)).astype(jnp.float32),
+            zero, zero,
+        ],
+        axis=0,
+    )  # [8, C]
+    wchunk = min(window, 2048)
+
+    def kernel(starts_ref, xs, ys, zs, lt, sqc, vc, fcols_hbm, out,
+               fscr, sem1):
+        i = pl.program_id(0)
+        # starts are built 128-aligned (_band_starts); the hint lets Mosaic
+        # prove the DMA's minor-dim tile alignment for the dynamic offset
+        start = pl.multiple_of(starts_ref[0, i], 128)
+        cp = pltpu.make_async_copy(
+            fcols_hbm.at[:, pl.ds(start, window)], fscr, sem1
+        )
+        cp.start()
+        cp.wait()
+
+        best = jnp.full((tile, 1), jnp.float32(C))
+        for w0 in range(0, window, wchunk):
+            xr = fscr[0:1, w0 : w0 + wchunk]
+            yr = fscr[1:2, w0 : w0 + wchunk]
+            zr = fscr[2:3, w0 : w0 + wchunk]
+            sqr = fscr[3:4, w0 : w0 + wchunk]
+            vr = fscr[4:5, w0 : w0 + wchunk]
+            lr = fscr[5:6, w0 : w0 + wchunk]
+            cross = xs[:] * xr + ys[:] * yr + zs[:] * zr  # [T, wchunk]
+            d2 = sqc[:] + sqr - 2.0 * cross
+            adj = (d2 <= tol2) & (vr > 0.0) & (vc[:] > 0.0)
+            cols = (
+                start + w0
+                + lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            )
+            hit = adj | (lt[:] == cols)
+            cand = jnp.where(hit, lr, jnp.float32(C))
+            best = jnp.minimum(best, jnp.min(cand, axis=1, keepdims=True))
+        # float labels < 2^24 are exact; min over floats == min over ints
+        out[:] = jnp.minimum(best.astype(jnp.int32), lt[:])
+
+    col = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vi = valid.astype(jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            col(), col(), col(), col(), col(), col(),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=col(),
+        scratch_shapes=[
+            pltpu.VMEM((8, window), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(
+        starts.reshape(1, tiles),
+        pts[:, 0:1], pts[:, 1:2], pts[:, 2:3], labels[:, None],
+        sq[:, None], vi[:, None],
+        fcols,
+    )
+    return out[:, 0]
+
+
 def _neighbor_min_sweep(
     pts: jax.Array, valid: jax.Array, labels: jax.Array, tol2, row_tile: int,
     use_pallas: bool | None = None,
+    band: tuple | None = None,
 ) -> jax.Array:
     """One fused ``label[i] <- min over {i} ∪ neighbors(i) ∪ {label[label[i]]}``
     pass.  Pallas VMEM kernel on TPU, identical-arithmetic XLA tiles
-    elsewhere (and for capacities the kernel's tiling cannot cover)."""
+    elsewhere (and for capacities the kernel's tiling cannot cover).
+    ``band``: optional (tile, window, starts) from ``_band_starts`` — the
+    sweep then scores only each tile's x-envelope window."""
     n = pts.shape[0]
-    tile = _sweep_tile_size(n)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if band is not None:
+        btile, window, starts = band
+        if use_pallas:
+            return _pallas_sweep_jump_banded(
+                pts, valid, labels, float(tol2), btile, window, starts
+            )
+        return _xla_sweep_jump_banded(
+            pts, valid, labels, tol2, btile, window, starts
+        )
+    tile = _sweep_tile_size(n)
     if use_pallas and tile:
         return _pallas_sweep_jump(pts, valid, labels, float(tol2), tile)
     return _xla_sweep_jump(pts, valid, labels, tol2, row_tile)
@@ -166,6 +369,10 @@ class ClusterOutput(NamedTuple):
     labels: jax.Array  # [C] int32 raw component roots (min index), self for invalid
     root_slot: jax.Array  # [C] int32 root index -> slot id or -1
     overflow: jax.Array  # [] bool: more gated clusters than max_clusters
+    # [] bool: band_window was set and some tile's true x-envelope span
+    # exceeded it — edges past the window were dropped (clusters may
+    # split); False when band_window == 0 (full sweep)
+    band_overflow: jax.Array = jnp.bool_(False)
 
 
 def euclidean_cluster(
@@ -176,8 +383,18 @@ def euclidean_cluster(
     max_clusters: int,
     max_iters: int = 64,
     row_tile: int = 512,
+    band_window: int = 0,
 ) -> ClusterOutput:
-    """Connected components + size gate + size-descending slot assignment."""
+    """Connected components + size gate + size-descending slot assignment.
+
+    ``band_window`` > 0 enables the BANDED sweep: each query tile scores
+    only a ``band_window``-wide contiguous column range derived from the
+    x monotone envelopes (``_band_starts``) — sweep work drops from C² to
+    C*window.  Sound because the compacted cloud arrives in voxel-lattice
+    order (x non-decreasing up to intra-voxel jitter, handled by the
+    envelopes): a window covering every tolerance edge yields the EXACT
+    full-sweep components; a too-small window raises ``band_overflow``
+    (observable in StageStats) instead of failing silently."""
     pts = cloud.points
     valid = cloud.valid
     n = cloud.capacity
@@ -219,6 +436,13 @@ def euclidean_cluster(
         d *= 2
     labels0 = jnp.where(valid, run_head, idx)  # invalid: stays self
 
+    band = None
+    band_overflow = jnp.bool_(False)
+    if band_window and 128 <= band_window < n and n % 128 == 0:
+        btile = 128
+        starts, band_overflow = _band_starts(p, valid, btile, band_window, tolerance)
+        band = (btile, band_window, starts)
+
     def cond(state):
         labels, changed, it = state
         return changed & (it < max_iters)
@@ -227,7 +451,7 @@ def euclidean_cluster(
         labels, _, it = state
         # Fused sweep: neighborhood min AND one pointer jump per pass
         # (label[label[i]] rides the same [T, C] candidate reduction).
-        nbr_min = _neighbor_min_sweep(p, valid, labels, tol2, row_tile)
+        nbr_min = _neighbor_min_sweep(p, valid, labels, tol2, row_tile, band=band)
 
         # Shiloach-Vishkin style hook: propagate each point's neighborhood
         # minimum to its component ROOT via scatter-min; the next sweep's
@@ -279,6 +503,7 @@ def euclidean_cluster(
         labels=labels,
         root_slot=root_slot,
         overflow=num_clusters_total > max_clusters,
+        band_overflow=band_overflow,
     )
 
 

@@ -66,10 +66,14 @@ def _sortnet_mean(planes: list, k: int, big: float) -> jax.Array:
     forms).  Three phases:
 
     1. Batcher-sort each 16-column chunk (63 comparators = ~7.9 ops/elem);
-    2. repeatedly merge chunk pairs, keeping the 16 smallest of each 32:
+    2. repeatedly merge chunk j of the FIRST half with chunk j of the
+       SECOND half (contiguous slices — strided even/odd pairing measured
+       ~12% slower in XLA: 39.6 vs 35.0 ms/batch at [24576, W=1280]),
+       keeping the 16 smallest of each 32:
        ``min(a_i, b_{15-i})`` (the bitonic half-cleaner) + a 4-stage
        bitonic resort, halving the chunk axis each round (~5 ops/elem of
-       output, geometric total ~5 ops/input-elem);
+       output, geometric total ~5 ops/input-elem; any pairing yields the
+       k smallest of the union, so the cheapest one wins);
     3. the final 16 sorted values -> masked mean of the k smallest sqrt'd.
 
     ~13 touches/element total vs the 15-pass extraction's ~45; measured
@@ -80,29 +84,89 @@ def _sortnet_mean(planes: list, k: int, big: float) -> jax.Array:
     bitwise.  Requires k <= 16 (PCL meanK = 15); ``_kmin_mean`` remains
     the general fallback.
     """
-    P = list(planes)
+    P = _sortnet_comparators(planes, big, concat_axis=planes[0].ndim - 1)
+    vals = jnp.stack([p[..., 0] for p in P])  # [16, T] ascending
+    return _sortnet_mean_from_sorted(vals, k, big)
+
+
+def _sortnet_comparators(P: list, big: float, concat_axis: int) -> list:
+    """The shared comparator program: Batcher-16 chunk sort, then
+    half-vs-half bitonic merges until one chunk remains.  ``P`` is a list
+    of 16 same-shaped arrays whose ``concat_axis`` is the chunk axis.
+    Pure min/max in a fixed order: every implementation of this sequence
+    (XLA on any backend, the Pallas kernel) produces bitwise-identical
+    values."""
+    P = list(P)
     for i, j in _BATCHER16:
         lo, hi = jnp.minimum(P[i], P[j]), jnp.maximum(P[i], P[j])
         P[i], P[j] = lo, hi
-    while P[0].shape[-1] > 1:
-        nc = P[0].shape[-1]
+    while P[0].shape[concat_axis] > 1:
+        nc = P[0].shape[concat_axis]
         if nc % 2:
-            pad = jnp.full_like(P[0][..., :1], big)
-            P = [jnp.concatenate([p, pad], axis=-1) for p in P]
-        A = [p[..., 0::2] for p in P]
-        B = [p[..., 1::2] for p in P]
+            pad_shape = list(P[0].shape)
+            pad_shape[concat_axis] = 1
+            pad = jnp.full(pad_shape, big, P[0].dtype)
+            P = [jnp.concatenate([p, pad], axis=concat_axis) for p in P]
+            nc += 1
+        h = nc // 2
+        lo_sl = [slice(None)] * P[0].ndim
+        hi_sl = [slice(None)] * P[0].ndim
+        lo_sl[concat_axis] = slice(0, h)
+        hi_sl[concat_axis] = slice(h, nc)
+        A = [p[tuple(lo_sl)] for p in P]
+        B = [p[tuple(hi_sl)] for p in P]
         P = [jnp.minimum(A[i], B[15 - i]) for i in range(16)]
         for d in (8, 4, 2, 1):  # bitonic resort (trivial at the final nc=1)
             for i in range(16):
                 if i % (2 * d) < d:
                     lo, hi = jnp.minimum(P[i], P[i + d]), jnp.maximum(P[i], P[i + d])
                     P[i], P[i + d] = lo, hi
-    vals = jnp.stack([p[..., 0] for p in P])  # [16, T] ascending
+    return P
+
+
+def _sortnet_mean_from_sorted(vals: jax.Array, k: int, big: float) -> jax.Array:
+    """[16, T] ascending values -> masked mean of the k smallest sqrt'd."""
     pos = lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     take = (vals < big * 0.5) & (pos < k)
     s = jnp.sum(jnp.where(take, jnp.sqrt(vals), 0.0), axis=0)
     cnt = jnp.sum(take.astype(jnp.float32), axis=0)
     return s / jnp.maximum(cnt, 1.0)
+
+
+def _sortnet_mean_pallas(d2p: jax.Array, k: int, big: float) -> jax.Array:
+    """Pallas twin of ``_sortnet_mean``: the identical comparator program
+    run in VMEM, planes laid out [16, nc, T] with the QUERY axis as lanes.
+
+    The kernel is min/max only — no multiply-add chains, so Mosaic's FMA
+    contraction (the usual Pallas bit-parity hazard, docs/PERFORMANCE.md)
+    cannot fire: outputs are bitwise identical to the XLA network on every
+    input (verified on hardware, scripts/tpu_experiments13.py), keeping
+    the TPU<->CPU crosscheck exact.  Measured 12.5 vs 35.0 ms/batch-of-32
+    for the full banded stage at [24576 rows, W=1280] (2.8x): the ~420
+    tiny plane ops become one resident kernel instead of XLA's
+    materialize-per-op chain.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, nc, t = d2p.shape
+    tc = 256 if t % 256 == 0 else 128
+
+    def kernel(x_ref, o_ref):
+        P = _sortnet_comparators([x_ref[i] for i in range(16)], big, 0)
+        for i in range(16):
+            o_ref[i, :] = P[i][0]
+
+    vals = pl.pallas_call(
+        kernel,
+        grid=(t // tc,),
+        in_specs=[
+            pl.BlockSpec((16, nc, tc), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((16, tc), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, t), jnp.float32),
+    )(d2p)
+    return _sortnet_mean_from_sorted(vals, k, big)
 
 
 def _kmin_mean(d2: jax.Array, k: int, big: float) -> jax.Array:
@@ -277,16 +341,42 @@ def knn_mean_distances(
             n - width,
         )
         use_sortnet = backend == "banded" and width % 16 == 0 and k <= 16
+        # Pallas network: query axis as lanes — needs a 128-multiple tile
+        use_pallas_net = (
+            use_sortnet
+            and row_tile % 128 == 0
+            and jax.default_backend() == "tpu"
+        )
 
         def _score_tile_planes(q, q_sq, q_ids, cols, cols_sq, c_ids, c_valid):
             """Banded tile in PLANE layout: the [T, W] distance tile is
-            computed directly as 16 position planes [16, T, W/16] (plane p,
-            chunk c = window column c*16+p) by reshaping the column
-            operands — no transpose of the big tile — and selected by the
-            sorting network (``_sortnet_mean``).  The distance arithmetic
-            is the same explicit full-f32 mul-add expression as
-            ``_score_tile``'s."""
+            computed directly as 16 position planes (plane p, chunk c =
+            window column c*16+p) by reshaping the column operands — no
+            transpose of the big tile — and selected by the sorting
+            network.  On TPU the network runs as the Pallas VMEM kernel
+            (``_sortnet_mean_pallas``, planes [16, nc, T] with queries as
+            lanes); elsewhere as the XLA form (``_sortnet_mean``, planes
+            [16, T, nc]).  Identical comparator sequence + elementwise
+            distance expression => bitwise-identical results either way.
+            """
             nc = width // 16
+
+            if use_pallas_net:
+
+                def as_planes(v):  # [W] -> [16, nc, 1]
+                    return v.reshape(nc, 16).T[:, :, None]
+
+                cx, cy, cz = (as_planes(cols[:, a]) for a in range(3))
+                cross = (
+                    q[:, 0][None, None, :] * cx
+                    + q[:, 1][None, None, :] * cy
+                    + q[:, 2][None, None, :] * cz
+                )
+                d2 = q_sq[None, None, :] + as_planes(cols_sq) - 2.0 * cross
+                d2 = jnp.maximum(d2, 0.0)
+                d2 = jnp.where(as_planes(c_valid), d2, big)
+                d2 = jnp.where(q_ids[None, None, :] == as_planes(c_ids), big, d2)
+                return _sortnet_mean_pallas(d2, k, big)
 
             def as_planes(v):  # [W] -> [16, 1, nc]
                 return v.reshape(nc, 16).T[:, None, :]

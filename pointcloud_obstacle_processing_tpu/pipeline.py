@@ -149,6 +149,7 @@ def _post_voxel(
         config.euc_max_cluster_size,
         config.max_clusters,
         config.cluster_max_iters,
+        band_window=config.cluster_band_window,
     )
 
     # centroids + radii (dormant reference API, first-class here)
@@ -178,6 +179,7 @@ def _post_voxel(
         num_clusters=clus.clusters.num_clusters,
         voxel_overflow=voxel_overflow,
         cluster_overflow=comp.overflow,
+        cluster_band_overflow=clus.band_overflow,
         planes_truncated=seg.truncated,
     )
 

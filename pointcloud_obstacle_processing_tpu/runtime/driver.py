@@ -313,9 +313,16 @@ class ObstacleDetectionNode:
                 # every truncation in the pipeline surfaces here)
                 "voxel_overflow": bool(s.voxel_overflow),
                 "cluster_overflow": bool(s.cluster_overflow),
+                "cluster_band_overflow": bool(s.cluster_band_overflow),
                 "planes_truncated": bool(s.planes_truncated),
             }
         )
+        if bool(s.cluster_band_overflow):
+            log.warning(
+                "cycle %d: cluster_band_window=%d exceeded — sweep edges "
+                "dropped (clusters may split); raise cluster_band_window",
+                seq, cfg.cluster_band_window,
+            )
         if bool(s.voxel_overflow):
             log.warning(
                 "cycle %d: max_voxels=%d overflowed — voxel cloud truncated;"

@@ -178,6 +178,9 @@ class StageStats(struct.PyTreeNode):
     # the closed-form rasterizer covers arbitrary widths (ops/shadow.py).
     voxel_overflow: jax.Array  # bool: occupied voxels > max_voxels (extras dropped)
     cluster_overflow: jax.Array  # bool: non-plane pts > cluster_capacity
+    # bool: the banded cluster sweep's x-envelope window was exceeded
+    # (edges dropped, clusters may split); always False with the full sweep
+    cluster_band_overflow: jax.Array
     # bool: the multi-plane loop hit the static max_planes bound while the
     # reference's unbounded loop (cpp:379-387) would have kept extracting
     # (> plane_min_remaining_frac of points still unsegmented, last round

