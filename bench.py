@@ -302,10 +302,21 @@ def main():
         f"fullscale config: leaf {fcfg.downsample_leaf_size}, window capacity "
         f"{fcfg.max_points}, voxel cap {fcfg.max_voxels}"
     )
+    # ONE arena re-observed 8 times with fresh 3 mm sensor noise per
+    # observation — the authentic accumulation semantics (the reference
+    # accumulates 200 frames of the SAME arena, cpp:691-698).  The old
+    # construction stacked 8 different arenas (48 rock fields + 8x noise
+    # blankets), which fused the whole cloud into one giant over-max_size
+    # component once the cluster stage stopped truncating.
     fspec = SceneSpec(
         n_ground=230_000, n_rocks=6, points_per_rock=3_000, n_noise=2_000
     )
-    parts = [make_scene(seed=100 + i, spec=fspec).points for i in range(8)]
+    base = make_scene(seed=100, spec=fspec).points
+    jit_rng = np.random.default_rng(7)
+    parts = [
+        base + jit_rng.normal(0, 0.003, base.shape).astype(np.float32)
+        for _ in range(8)
+    ]
     fpts = np.concatenate(parts)[: fcfg.max_points]
     fcloud_np = np.zeros((fcfg.max_points, 3), np.float32)
     fcloud_np[: len(fpts)] = fpts

@@ -39,21 +39,24 @@ FLAGSHIP_CONFIG = REFERENCE_YAML_CONFIG.replace(
 )
 
 # The authentic reference workload at full fidelity: a 200-frame
-# accumulation window (params.yaml:10) of ~10k-point scans at the shipped
-# 0.015 leaf — 2M-point windows, ~205k voxels on the bench arena.
+# accumulation window (params.yaml:10) re-observing ONE arena at the
+# shipped 0.015 leaf — 2M-point windows, ~166k voxels, ~7k non-plane
+# points on the bench arena (round 3: the old bench window stacked 8
+# DIFFERENT arenas, whose merged noise blankets both overflowed the
+# cluster capacity — silently, before StageStats.cluster_overflow existed
+# — and fused into one over-max_size component).
 # knn_band widened: at leaf 0.015 a rank band must span more voxels per
-# x-slab (~215 valid/slab) to cover the same metric radius.
-# cluster_capacity 40960 (round 3): the bench window's non-plane cloud is
-# ~37.6k points — the old 16384 cap silently truncated 56% of it (caught
-# by the new StageStats.cluster_overflow).  The O(C^2) sweep cost at the
-# honest capacity is held down by the banded sweep (cluster_band_window:
-# max x-envelope span measured ~12.4k on the bench scenes, 16384 = 32%
-# headroom, guarded by cluster_band_overflow).
+# x-slab (~550 valid/slab) to cover the same metric radius.
+# cluster_capacity 16384 = 2.3x headroom over the bench window's ~7k
+# non-plane points; the banded sweep (cluster_band_window=8192) halves
+# the sweep work and cannot truncate on the bench window (a window span
+# is bounded by the valid count, ~7k there), with cluster_band_overflow
+# guarding denser deployments.
 REFERENCE_FULLSCALE_CONFIG = REFERENCE_YAML_CONFIG.replace(
     max_points=2 * 1024 * 1024,
     max_voxels=262144,
-    cluster_capacity=40960,
-    cluster_band_window=16384,
+    cluster_capacity=16384,
+    cluster_band_window=8192,
     max_clusters=64,
     knn_backend="banded",
     knn_band=1792,

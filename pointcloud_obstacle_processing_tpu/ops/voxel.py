@@ -244,11 +244,15 @@ def _sort_segment_partials(
        run-end rows are compacted to the first ``capacity`` slots by the
        Pallas sequential-overwrite kernel (exact-gather fallback off-TPU).
 
-    Offsets are voxel-corner relative (computed AFTER the sort from the
-    sorted key) so sums carry no |coordinate|-scaled error; the packed key
-    rides the compaction as an f32 channel (K <= 2^23 < 2^24: exact).
-    Cost is K-independent — the same path serves the flagship 230k-bin
-    lattice and the fullscale 3.9M-bin (0.015-leaf) lattice.
+    Offsets are voxel-corner relative so sums carry no
+    |coordinate|-scaled error, and they are computed BEFORE the sort (a
+    point's corner offset is sort-invariant) and carried as the sort
+    payloads — no per-row key decode (two constant-divmod chains over the
+    full buffer) is needed after the sort; only the ``capacity`` output
+    slots decode their key.  The packed key rides the compaction as an
+    f32 channel (K <= 2^23 < 2^24: exact).  Cost is K-independent — the
+    same path serves the flagship 230k-bin lattice and the fullscale
+    3.9M-bin (0.015-leaf) lattice.
     """
     from .pallas_compaction import compact_and_gather_exact
     from .segscan import segmented_inclusive_scan
@@ -273,28 +277,23 @@ def _sort_segment_partials(
         sentinel = K
         packed = jnp.where(valid, (ix * dims[1] + iy) * dims[2] + iz, K)
 
-    skey, sx, sy, sz = lax.sort(
-        (packed, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1, is_stable=True
-    )
-    svalid = skey < sentinel
-
-    # corner-relative offsets from the sorted key (invalid rows -> garbage
-    # coords, but their offsets are masked to 0 below)
-    if order == "morton":
-        kx, ky, kz = _morton_decode(skey, sched)
-    else:
-        kx = skey // (dims[1] * dims[2])
-        krem = skey % (dims[1] * dims[2])
-        ky = krem // dims[2]
-        kz = krem % dims[2]
-    corner = (
-        jnp.stack([kx + imin[0], ky + imin[1], kz + imin[2]], axis=0).astype(
-            jnp.float32
-        )
+    # corner-relative offsets BEFORE the sort: a point's offset within its
+    # voxel is sort-invariant, so carrying offsets as the sort payloads
+    # skips the full-buffer key decode entirely (invalid rows -> 0, and
+    # their sorted positions are masked by svalid below anyway)
+    corner0 = (
+        jnp.stack(
+            [ix + imin[0], iy + imin[1], iz + imin[2]], axis=0
+        ).astype(jnp.float32)
         * jnp.float32(leaf_size)
     )  # [3, N] channel-leading
-    sp = jnp.stack([sx, sy, sz], axis=0)
-    off = jnp.where(svalid[None, :], sp - corner, 0.0)
+    off0 = jnp.where(valid[None, :], pts.T - corner0, 0.0)
+
+    skey, sox, soy, soz = lax.sort(
+        (packed, off0[0], off0[1], off0[2]), num_keys=1, is_stable=True
+    )
+    svalid = skey < sentinel
+    off = jnp.stack([sox, soy, soz], axis=0)
 
     heads = svalid & (skey != jnp.concatenate([jnp.full((1,), -1, skey.dtype), skey[:-1]]))
     vals = jnp.concatenate(
