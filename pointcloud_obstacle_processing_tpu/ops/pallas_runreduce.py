@@ -1,0 +1,405 @@
+"""Fused sorted-run segmented reduce + stream compaction (Pallas TPU kernel).
+
+The sort-engine voxel path (``ops/voxel.py: _sort_segment_partials``, the
+TPU-native pcl::VoxelGrid reduction, obstacle_detection.cpp:282-285) used
+three passes over the sorted buffer: a segmented inclusive scan
+(ops/segscan.py), a run-end table materialization, and the
+sequential-overwrite compaction kernel (ops/pallas_compaction.py).  At the
+flagship shape that is ~12.2 ms/batch-of-32 of the voxel stage's 25.8
+(docs/PERFORMANCE.md round-3 log; scripts/tpu_experiments18.py).
+
+This kernel fuses all three into ONE sequential pass: the Pallas grid
+already walks the buffer in ascending windows for the compaction's
+overlapping-DMA trick, and a TPU grid executes **sequentially** on a core —
+so per-segment running sums can ride along in SMEM scratch as cross-window
+carries instead of a full-width Hillis-Steele over HBM.  Per window:
+
+1. derive head/run-end flags from the sorted keys (the window's boundary
+   keys come from a tiny SMEM side table — no shifted copies of the key
+   buffer in HBM);
+2. window-local segmented inclusive scan of (off_x, off_y, off_z, valid)
+   — log2(W) shift+add steps entirely in VMEM/registers;
+3. add the carried segment sums to rows before the window's first head
+   (select + add — no multiply, so Mosaic cannot FMA-contract it), and
+   store the last row's adjusted sums as the next window's carry;
+4. compact the run-end rows (key, sums, count) into a VMEM staging window
+   at precomputed exclusive offsets and DMA it to HBM at the running
+   global offset, double-buffered exactly like ops/pallas_compaction.py.
+
+Summation-order note: per-voxel sums are window-local Hillis-Steele trees
+joined by one carry add — a deterministic, backend-independent order that
+differs from a linear left-to-right sum only by normal f32 rounding (same
+class as the previous full-width Hillis-Steele; docs/PARITY.md deviation
+7).  The XLA fallback below evaluates the IDENTICAL expression tree
+(the same shift+add steps per window, the same single carry add per
+element, gathers instead of one-live-lane select-sums — both exact), so
+TPU and CPU results stay bitwise equal and the full-pipeline crosscheck
+(scripts/crosscheck_tpu_cpu.py) keeps bit-identity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["sorted_run_reduce"]
+
+try:  # pallas import kept lazy-safe for backends without Mosaic
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = None
+    pltpu = None
+
+
+def _scan_channels(chans: list, flags, w: int):
+    """Window-local segmented inclusive scan: the Hillis-Steele shift+add
+    steps of ops/segscan.py applied to [1, w] channel rows sharing one
+    int32 flag row.  Only adds/selects/ors — identical arithmetic wherever
+    it runs (the XLA fallback evaluates this same function)."""
+    v = list(chans)
+    f = flags
+    d = 1
+    while d < w:
+        zpad = jnp.zeros(v[0].shape[:-1] + (d,), v[0].dtype)
+        fpad = jnp.ones(f.shape[:-1] + (d,), f.dtype)
+        f_shift = jnp.concatenate([fpad, f[..., :-d]], axis=-1)
+        for ci in range(len(v)):
+            v_shift = jnp.concatenate([zpad, v[ci][..., :-d]], axis=-1)
+            v[ci] = v[ci] + jnp.where(f != 0, 0.0, v_shift)
+        f = f | f_shift
+        d *= 2
+    return v
+
+
+def _kernel(
+    meta_ref, excl_ref, key_ref, offs_ref, out_ref, scratch, tmp, carry,
+    sem, sem2, *, group: int, capacity: int, sentinel: int,
+):
+    """One grid step: scan + reduce + compact ``group`` 128-lane blocks.
+
+    Grid is (B, steps), steps minor, so each batch element's windows run
+    in ascending order and SMEM ``carry`` rides across them.
+
+    meta_ref: [1, 2, steps+1] int32 SMEM — row 0: first key of each window
+        (entry ``steps`` = -2, an impossible key, so the buffer's final
+        valid row always ends its run); row 1: key preceding each window
+        (entry 0 = -1).
+    excl_ref: [1, 1, a+group] int32 SMEM — per-128-block exclusive offsets
+        of the run-end count, continued with ``num`` (as in
+        pallas_compaction._kernel).
+    key_ref:  [1, 1, 1, W] int32 sorted voxel keys (sentinel = invalid).
+    offs_ref: [1, 3, 1, W] f32 corner-relative offsets (sort payloads).
+    out_ref:  [B, capacity + W, 128] f32 HBM (ANY); columns 0..4 =
+        (key_f32, sum_x, sum_y, sum_z, count) at run-end rows.
+    scratch:  [2*W, 128] f32 double-buffered staging (see
+        pallas_compaction._kernel for the overlapping-window DMA
+        contract; identical here).
+    tmp:      [8, W] f32 VMEM channel staging — computed scan values are
+        written here and re-loaded as [1, 128] block slices, because
+        Mosaic cannot re-layout a computed [1, W] vector's lane-offset
+        slice for broadcasting against [128, 128] (rows 0..4 = output
+        channels, row 5 = is_end flags, 6..7 pad).
+    carry:    [1, 4] f32 SMEM — running segment sums (x, y, z, count) at
+        the window boundary.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    gstep = bi * pl.num_programs(1) + i
+    last = pl.num_programs(0) * pl.num_programs(1) - 1
+    w_full = group * 128
+    base = lax.rem(gstep, 2) * w_full
+    step_start = excl_ref[0, 0, i * group]
+
+    key = key_ref[0, 0]  # [1, W] int32
+    valid = key < sentinel
+    prev_key = meta_ref[0, 1, i]
+    next_first = meta_ref[0, 0, i + 1]
+    key_prev = jnp.concatenate(
+        [jnp.full((1, 1), prev_key, jnp.int32), key[:, :-1]], axis=1
+    )
+    key_next = jnp.concatenate(
+        [key[:, 1:], jnp.full((1, 1), next_first, jnp.int32)], axis=1
+    )
+    heads = (valid & (key != key_prev)).astype(jnp.int32)
+    is_end = valid & (key != key_next)
+
+    @pl.when(i == 0)
+    def _reset_carry():
+        for ci in range(4):
+            carry[0, ci] = 0.0
+
+    chans = [offs_ref[0, c] for c in range(3)]
+    chans.append(jnp.where(valid, 1.0, 0.0))
+    v = _scan_channels(chans, heads, w_full)
+
+    # carry joins: rows before the window's first head continue the
+    # previous window's open segment (select + add; no multiply)
+    no_head_yet = _cum_or(heads) == 0  # [1, W] inclusive OR-scan
+    for ci in range(4):
+        v[ci] = v[ci] + jnp.where(no_head_yet, carry[0, ci], 0.0)
+    # next window's carry = this window's adjusted last row (masked lane
+    # reduce: Mosaic cannot scalar-extract a computed vector lane)
+    last_mask = (
+        lax.broadcasted_iota(jnp.int32, (1, w_full), 1) == w_full - 1
+    )
+    new_carry = [jnp.sum(jnp.where(last_mask, v[ci], 0.0)) for ci in range(4)]
+    for ci in range(4):
+        carry[0, ci] = new_carry[ci]
+
+    key_f = key.astype(jnp.float32)
+    cnt_end = jnp.where(is_end, v[3], 0.0)
+    tmp[0:1, :] = key_f
+    tmp[1:2, :] = v[0]
+    tmp[2:3, :] = v[1]
+    tmp[3:4, :] = v[2]
+    tmp[4:5, :] = cnt_end
+    tmp[5:6, :] = jnp.where(is_end, 1.0, 0.0)
+
+    lane_tri = (
+        lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        <= lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(jnp.bfloat16)
+    r_iota = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    for g in range(group):
+        sl = slice(g * 128, (g + 1) * 128)
+        occ = tmp[5:6, sl] > 0.0  # [1, 128] fresh VMEM load
+        ranks = (
+            lax.dot_general(
+                occ.astype(jnp.bfloat16), lane_tri,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            - 1
+        )
+        sel = (ranks == r_iota) & occ  # [128, 128]
+        cols = [
+            jnp.sum(jnp.where(sel, tmp[ci : ci + 1, sl], 0.0), axis=1, keepdims=True)
+            for ci in range(5)
+        ]
+        block_out = jnp.concatenate(cols, axis=1)  # [128, 5]
+        lstart = excl_ref[0, 0, i * group + g] - step_start
+        scratch[pl.ds(base + lstart, 128), 0:5] = block_out
+
+    # window flush: identical DMA contract to pallas_compaction._kernel
+    ws = min(512, w_full)
+    written = excl_ref[0, 0, (i + 1) * group] - step_start
+    start1 = jnp.minimum(step_start, capacity)
+
+    @pl.when(gstep > 0)
+    def _wait_prev():
+        pltpu.make_async_copy(
+            scratch.at[pl.ds(w_full - base, ws), :],
+            out_ref.at[bi, pl.ds(0, ws), :],
+            sem,
+        ).wait()
+
+    cp1 = pltpu.make_async_copy(
+        scratch.at[pl.ds(base, ws), :],
+        out_ref.at[bi, pl.ds(start1, ws), :],
+        sem,
+    )
+    cp1.start()
+
+    @pl.when(gstep == last)
+    def _drain():
+        cp1.wait()
+
+    if ws < w_full:
+
+        @pl.when(written > ws - 128)
+        def _flush_rest():
+            start2 = jnp.minimum(step_start + ws, capacity + ws)
+            cp2 = pltpu.make_async_copy(
+                scratch.at[pl.ds(base + ws, w_full - ws), :],
+                out_ref.at[bi, pl.ds(start2, w_full - ws), :],
+                sem2,
+            )
+            cp2.start()
+            cp2.wait()
+
+
+def _cum_or(flags):
+    """Inclusive cumulative OR along the last axis via the same shift
+    schedule as the scan (boolean — no rounding, any order identical)."""
+    f = flags
+    d = 1
+    w = f.shape[-1]
+    while d < w:
+        f = f | jnp.concatenate(
+            [jnp.zeros(f.shape[:-1] + (d,), f.dtype), f[..., :-d]], axis=-1
+        )
+        d *= 2
+    return f
+
+
+def _flags(skey, sentinel: int):
+    """Global head / run-end flags of the sorted key buffer."""
+    valid = skey < sentinel
+    prev = jnp.concatenate([jnp.full((1,), -1, skey.dtype), skey[:-1]])
+    nxt = jnp.concatenate([skey[1:], jnp.full((1,), -2, skey.dtype)])
+    heads = valid & (skey != prev)
+    is_end = valid & (skey != nxt)
+    return valid, heads, is_end
+
+
+def _xla_fallback(skey, offs, sentinel: int, capacity: int, group: int):
+    """Bitwise twin of the kernel: identical window scans + carry adds,
+    exact gathers at the compacted run-end rows."""
+    from .mxu_histogram import compact_occupied_blocks
+
+    n = skey.shape[0]
+    w = group * 128
+    steps = n // w
+    valid, heads, is_end = _flags(skey, sentinel)
+
+    hw = heads.astype(jnp.int32).reshape(steps, w)
+    chans = [offs[c].reshape(steps, w) for c in range(3)]
+    chans.append(jnp.where(valid, 1.0, 0.0).reshape(steps, w))
+    local = _scan_channels(chans, hw, w)  # the kernel's exact step sequence
+
+    no_head_yet = _cum_or(hw) == 0  # [steps, w]
+
+    lastcol = jnp.stack([v[:, -1] for v in local], axis=-1)  # [steps, 4]
+    gate = no_head_yet[:, -1]  # whole window continues the open segment
+
+    def carry_step(c, x):
+        lc, g = x
+        out = lc + jnp.where(g, c, 0.0)  # the kernel's single carry add
+        return out, c
+
+    _, carries = lax.scan(carry_step, jnp.zeros((4,), jnp.float32), (lastcol, gate))
+    adj = [
+        (local[ci] + jnp.where(no_head_yet, carries[:, ci : ci + 1], 0.0)).reshape(n)
+        for ci in range(4)
+    ]
+
+    cnt_end = jnp.where(is_end, adj[3], 0.0)
+    occ2d = is_end.reshape(n // 128, 128)
+    loc, num = compact_occupied_blocks(occ2d, capacity)
+    key_f = skey.astype(jnp.float32)
+    vals = jnp.stack(
+        [key_f[loc], adj[0][loc], adj[1][loc], adj[2][loc], cnt_end[loc]], axis=-1
+    )
+    return vals, num
+
+
+def _pallas_batched(skey, offs, sentinel, capacity, group, interpret):
+    """skey [B, N] int32, offs [B, 3, N] f32 -> (vals [B, capacity, 5], num [B])."""
+    bsz, n = skey.shape
+    w = group * 128
+    steps = n // w
+    a = n // 128
+
+    is_end = jax.vmap(lambda k: _flags(k, sentinel)[2])(skey)
+    per_block = jnp.sum(is_end.reshape(bsz, a, 128).astype(jnp.int32), axis=2)
+    offsets = jnp.cumsum(per_block, axis=1)
+    num = offsets[:, -1]
+    excl = offsets - per_block
+    excl = jnp.concatenate(
+        [excl, jnp.broadcast_to(num[:, None], (bsz, group))], axis=1
+    ).reshape(bsz, 1, a + group)
+
+    firsts = jnp.concatenate(
+        [skey[:, ::w], jnp.full((bsz, 1), -2, jnp.int32)], axis=1
+    )  # [B, steps+1]
+    prevs = jnp.concatenate(
+        [jnp.full((bsz, 1), -1, jnp.int32), skey[:, w - 1 :: w][:, : steps - 1]],
+        axis=1,
+    )  # [B, steps]
+    meta = jnp.stack(
+        [firsts, jnp.pad(prevs, ((0, 0), (0, 1)))], axis=1
+    )  # [B, 2, steps+1]
+
+    s_pad = capacity + w
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, group=group, capacity=capacity, sentinel=sentinel
+        ),
+        grid=(bsz, steps),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2, steps + 1), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, a + group), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, w), lambda bi, i: (bi, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, 1, w), lambda bi, i: (bi, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, s_pad, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * w, 128), jnp.float32),
+            pltpu.VMEM((8, w), jnp.float32),
+            pltpu.SMEM((1, 4), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(meta, excl, skey[:, None, None, :], offs[:, :, None, :])
+    return out[:, :capacity, :5], num
+
+
+def sorted_run_reduce(
+    skey: jax.Array,
+    offs: jax.Array,
+    sentinel: int,
+    capacity: int,
+    group: int | None = None,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+):
+    """Per-run (key, sum_x, sum_y, sum_z, count) of a key-sorted buffer,
+    compacted to the first ``capacity`` runs in ascending key order.
+
+    ``skey``: [N] int32 ascending keys, ``sentinel`` for invalid rows
+    (sorted last).  ``offs``: [3, N] f32 per-row values to segment-sum.
+    N must be a multiple of 128*group.  Returns (vals [capacity, 5] f32,
+    num [] int32); slots >= num are unspecified (callers mask), channel 0
+    is the run key as f32 (exact for keys < 2^24).
+
+    One fused sequential pass on TPU (see module docstring); the XLA
+    fallback computes bitwise-identical values.  vmap-safe: a custom rule
+    routes batches onto the kernel's (B, steps) grid.
+    """
+    n = skey.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and pl is not None
+    if group is None:
+        # preferred window size by table scale (measured for the compaction
+        # kernel, docs/PERFORMANCE.md); degrade to whatever divides N
+        pref = 8 if n // 128 <= 4096 else 32
+        group = next(g for g in (pref, 8, 4, 2, 1) if n % (g * 128) == 0)
+    if n % (group * 128):
+        raise ValueError(f"N={n} must be a multiple of group*128={group*128}")
+    if not use_pallas:
+        return _xla_fallback(skey, offs, sentinel, capacity, group)
+
+    @jax.custom_batching.custom_vmap
+    def run(k, o):
+        vals, num = _pallas_batched(
+            k[None], o[None], sentinel, capacity, group, interpret
+        )
+        return vals[0], num[0]
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, k, o):  # noqa: ANN001 - jax API signature
+        del axis_size
+        if not (in_batched[0] and in_batched[1]):  # pragma: no cover
+            raise NotImplementedError("sorted_run_reduce: vmap over both args")
+        vals, num = _pallas_batched(k, o, sentinel, capacity, group, interpret)
+        return (vals, num), (True, True)
+
+    return run(skey, offs)

@@ -1,9 +1,13 @@
 """Backend-deterministic segmented inclusive scan.
 
-Building block for the sort-based voxel reduction (ops/voxel.py): after a
+Building block of the sort-based voxel reduction until round 3: after a
 stable sort by voxel key, each voxel's members are a contiguous run, and
 per-voxel sums are the values of a segmented inclusive sum-scan at the run
-ends.
+ends.  The default voxel path now uses the FUSED windowed form
+(ops/pallas_runreduce.py — same shift+add recurrence per window joined by
+carry adds); this full-width standalone op is kept as the tested,
+generally-useful primitive (tests/test_segscan.py) for any consumer
+needing a global segmented scan.
 
 Why not ``jnp.cumsum`` / ``lax.associative_scan``: their f32 reduction
 ORDER is backend-chosen (linear on CPU, log-tree on TPU), so sums differ in

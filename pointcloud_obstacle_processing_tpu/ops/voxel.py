@@ -226,7 +226,7 @@ def _sort_segment_partials(
     pts, valid, ijk, imin, dims, leaf_size: float, capacity: int,
     order: str = "lattice",
 ) -> VoxelPartials:
-    """Stable-sort + segmented-scan voxel reduction (the default path).
+    """Stable-sort + fused run-reduce voxel reduction (the default path).
 
     Measured rationale (docs/PERFORMANCE.md round 3): a batched 1-key
     ``lax.sort`` with 3 payloads is ~free on v5e (~1-3 ms/batch-of-32 at
@@ -237,25 +237,25 @@ def _sort_segment_partials(
     1. stable sort by the packed voxel key (stable => equal-key payload
        order is the input order: deterministic on every backend, so the
        f32 segment sums are bit-reproducible);
-    2. segmented inclusive scan of (off_x, off_y, off_z, 1) over the
-       sorted rows (ops/segscan.py — explicit shift+add steps, bitwise
-       identical across backends);
-    3. the per-voxel totals are the scan values at each run's END row;
-       run-end rows are compacted to the first ``capacity`` slots by the
-       Pallas sequential-overwrite kernel (exact-gather fallback off-TPU).
+    2. ONE fused sequential pass (ops/pallas_runreduce.py) derives run
+       boundaries from the sorted keys, segment-sums (off_x, off_y,
+       off_z, 1) with window-local scans + SMEM carries, and compacts
+       the per-run totals to the first ``capacity`` slots via the
+       sequential-overwrite DMA scheme — replacing the former three-pass
+       segscan -> run-end table -> compaction chain (the XLA fallback
+       off-TPU computes bitwise-identical values).
 
     Offsets are voxel-corner relative so sums carry no
     |coordinate|-scaled error, and they are computed BEFORE the sort (a
     point's corner offset is sort-invariant) and carried as the sort
     payloads — no per-row key decode (two constant-divmod chains over the
     full buffer) is needed after the sort; only the ``capacity`` output
-    slots decode their key.  The packed key rides the compaction as an
+    slots decode their key.  The packed key rides the reduction as an
     f32 channel (K <= 2^23 < 2^24: exact).  Cost is K-independent — the
     same path serves the flagship 230k-bin lattice and the fullscale
     3.9M-bin (0.015-leaf) lattice.
     """
-    from .pallas_compaction import compact_and_gather_exact
-    from .segscan import segmented_inclusive_scan
+    from .pallas_runreduce import sorted_run_reduce
 
     n = pts.shape[0]
     if n % 128:
@@ -292,25 +292,8 @@ def _sort_segment_partials(
     skey, sox, soy, soz = lax.sort(
         (packed, off0[0], off0[1], off0[2]), num_keys=1, is_stable=True
     )
-    svalid = skey < sentinel
     off = jnp.stack([sox, soy, soz], axis=0)
-
-    heads = svalid & (skey != jnp.concatenate([jnp.full((1,), -1, skey.dtype), skey[:-1]]))
-    vals = jnp.concatenate(
-        [off, svalid.astype(jnp.float32)[None, :]], axis=0
-    )  # [4, N]
-    scans = segmented_inclusive_scan(vals, heads)
-
-    next_head = jnp.concatenate([heads[1:], jnp.ones((1,), bool)])
-    next_invalid = jnp.concatenate([~svalid[1:], jnp.ones((1,), bool)])
-    is_end = svalid & (next_head | next_invalid)
-
-    cnt_end = jnp.where(is_end, scans[3], 0.0)
-    table = jnp.concatenate(
-        [skey.astype(jnp.float32)[None, :], scans[:3], cnt_end[None, :]], axis=0
-    )  # [5, N]; count channel LAST = the compaction's occupancy
-    occ2d = (cnt_end > 0.0).reshape(n // 128, 128)
-    _, num, slot_vals = compact_and_gather_exact(table, occ2d, capacity)
+    slot_vals, num = sorted_run_reduce(skey, off, sentinel, capacity)
 
     target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
     out_valid = target < jnp.minimum(num, capacity)

@@ -1,0 +1,126 @@
+"""Fused sorted-run reduce+compact kernel (ops/pallas_runreduce.py).
+
+Contract: the Pallas kernel (interpret mode on the CPU test backend) and
+the XLA fallback produce BITWISE-identical (vals, num) — that equality is
+what keeps the TPU<->CPU crosscheck exact — and both agree with a NumPy
+per-run ground truth (exact keys/counts; sums to f32 tolerance, since the
+windowed scan order differs from NumPy's linear sum only by rounding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloud_obstacle_processing_tpu.ops.pallas_runreduce import (
+    sorted_run_reduce,
+)
+
+
+def _case(rng, n, n_runs, n_valid, sentinel):
+    """Sorted keys with duplicate runs + trailing invalid rows."""
+    keys = np.sort(rng.integers(0, n_runs, n_valid)).astype(np.int32)
+    skey = np.full(n, sentinel, np.int32)
+    skey[:n_valid] = keys
+    offs = np.zeros((3, n), np.float32)
+    offs[:, :n_valid] = rng.standard_normal((3, n_valid)).astype(np.float32)
+    return jnp.asarray(skey), jnp.asarray(offs)
+
+
+def _ground_truth(skey, offs, sentinel, capacity):
+    skey = np.asarray(skey)
+    offs = np.asarray(offs)
+    valid = skey < sentinel
+    uniq = np.unique(skey[valid])
+    rows = []
+    for k in uniq[:capacity]:
+        m = skey == k
+        rows.append([k, *offs[:, m].sum(axis=1), m.sum()])
+    return np.array(rows, np.float64), len(uniq)
+
+
+@pytest.mark.parametrize(
+    "n,n_runs,n_valid,cap,group",
+    [
+        (1024, 50, 700, 128, 8),
+        (2048, 300, 2048, 512, 8),  # no invalid tail
+        (1024, 1, 600, 16, 4),      # one giant run spanning many windows
+        (4096, 900, 3100, 1024, 8),
+        (1024, 200, 512, 64, 1),    # window = one 128-block
+    ],
+)
+def test_fused_matches_fallback_and_truth(n, n_runs, n_valid, cap, group):
+    rng = np.random.default_rng(n + n_runs)
+    sentinel = n_runs + 7
+    skey, offs = _case(rng, n, n_runs, n_valid, sentinel)
+
+    vals_p, num_p = sorted_run_reduce(
+        skey, offs, sentinel, cap, group=group, use_pallas=True, interpret=True
+    )
+    vals_f, num_f = sorted_run_reduce(
+        skey, offs, sentinel, cap, group=group, use_pallas=False
+    )
+    gt, n_runs_true = _ground_truth(skey, offs, sentinel, cap)
+
+    assert int(num_p) == int(num_f) == n_runs_true
+    k = min(n_runs_true, cap)
+    # kernel vs fallback: bitwise (the crosscheck contract)
+    assert np.array_equal(np.asarray(vals_p)[:k], np.asarray(vals_f)[:k])
+    got = np.asarray(vals_f)[:k]
+    assert np.array_equal(got[:, 0], gt[:, 0])  # keys exact
+    assert np.array_equal(got[:, 4], gt[:, 4])  # counts exact
+    np.testing.assert_allclose(got[:, 1:4], gt[:, 1:4], rtol=1e-5, atol=1e-5)
+
+
+def test_fused_vmap_batched_grid():
+    """The custom_vmap rule routes jax.vmap onto the (B, steps) grid and
+    matches per-element application bitwise."""
+    rng = np.random.default_rng(11)
+    n, cap, B, sentinel = 1024, 128, 3, 61
+    ks, os_ = zip(*[_case(rng, n, 60, 1024 - 128 * i, sentinel) for i in range(B)])
+    skey = jnp.stack(ks)
+    offs = jnp.stack(os_)
+
+    f = lambda k, o: sorted_run_reduce(  # noqa: E731
+        k, o, sentinel, cap, group=8, use_pallas=True, interpret=True
+    )
+    vals_b, num_b = jax.vmap(f)(skey, offs)
+    for b in range(B):
+        vals_1, num_1 = f(skey[b], offs[b])
+        assert int(num_b[b]) == int(num_1)
+        kk = min(int(num_1), cap)
+        assert np.array_equal(
+            np.asarray(vals_b)[b, :kk], np.asarray(vals_1)[:kk]
+        )
+
+
+def test_capacity_overflow_keeps_prefix():
+    """More runs than capacity: the first ``capacity`` runs in ascending
+    key order survive and num reports the true total (the voxel stage's
+    overflow flag feeds off it)."""
+    rng = np.random.default_rng(3)
+    sentinel = 1000
+    skey, offs = _case(rng, 1024, 900, 1024, sentinel)
+    cap = 64
+    vals_p, num_p = sorted_run_reduce(
+        skey, offs, sentinel, cap, group=8, use_pallas=True, interpret=True
+    )
+    vals_f, num_f = sorted_run_reduce(
+        skey, offs, sentinel, cap, group=8, use_pallas=False
+    )
+    gt, n_runs_true = _ground_truth(skey, offs, sentinel, cap)
+    assert int(num_p) == int(num_f) == n_runs_true > cap
+    assert np.array_equal(np.asarray(vals_p)[:cap], np.asarray(vals_f)[:cap])
+    assert np.array_equal(np.asarray(vals_f)[:cap, 0], gt[:cap, 0])
+
+
+def test_all_invalid():
+    skey = jnp.full((1024,), 99, jnp.int32)
+    offs = jnp.zeros((3, 1024), jnp.float32)
+    for use_pallas in (True, False):
+        vals, num = sorted_run_reduce(
+            skey, offs, 99, 32, group=8, use_pallas=use_pallas, interpret=use_pallas
+        )
+        assert int(num) == 0
