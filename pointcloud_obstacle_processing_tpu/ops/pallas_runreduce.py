@@ -55,21 +55,24 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 
-def _scan_channels(chans: list, flags, w: int):
+def _scan_channels(vals, flags, w: int):
     """Window-local segmented inclusive scan: the Hillis-Steele shift+add
-    steps of ops/segscan.py applied to [1, w] channel rows sharing one
-    int32 flag row.  Only adds/selects/ors — identical arithmetic wherever
+    steps of ops/segscan.py applied to a CHANNEL-STACKED array ``vals``
+    ([..., 4, w]; channels ride sublanes, so each step is ONE vector op
+    instead of one per channel) sharing one int32 flag row that
+    broadcasts across the channel axis.  Only adds/selects/ors — the
+    per-channel arithmetic is identical to a per-channel loop (same
+    operands, same order), so results are bitwise reproducible wherever
     it runs (the XLA fallback evaluates this same function)."""
-    v = list(chans)
+    v = vals
     f = flags
     d = 1
     while d < w:
-        zpad = jnp.zeros(v[0].shape[:-1] + (d,), v[0].dtype)
+        zpad = jnp.zeros(v.shape[:-1] + (d,), v.dtype)
         fpad = jnp.ones(f.shape[:-1] + (d,), f.dtype)
         f_shift = jnp.concatenate([fpad, f[..., :-d]], axis=-1)
-        for ci in range(len(v)):
-            v_shift = jnp.concatenate([zpad, v[ci][..., :-d]], axis=-1)
-            v[ci] = v[ci] + jnp.where(f != 0, 0.0, v_shift)
+        v_shift = jnp.concatenate([zpad, v[..., :-d]], axis=-1)
+        v = v + jnp.where(f != 0, 0.0, v_shift)
         f = f | f_shift
         d *= 2
     return v
@@ -132,30 +135,33 @@ def _kernel(
         for ci in range(4):
             carry[0, ci] = 0.0
 
-    chans = [offs_ref[0, c] for c in range(3)]
-    chans.append(jnp.where(valid, 1.0, 0.0))
-    v = _scan_channels(chans, heads, w_full)
+    ch = jnp.concatenate(
+        [offs_ref[0][:, 0, :], jnp.where(valid, 1.0, 0.0)], axis=0
+    )  # [4, W]: channels on sublanes — one vector op per scan step
+    v = _scan_channels(ch, heads, w_full)
 
     # carry joins: rows before the window's first head continue the
     # previous window's open segment (select + add; no multiply)
     no_head_yet = _cum_or(heads) == 0  # [1, W] inclusive OR-scan
-    for ci in range(4):
-        v[ci] = v[ci] + jnp.where(no_head_yet, carry[0, ci], 0.0)
+    carr = jnp.concatenate(
+        [jnp.full((1, 1), carry[0, ci], jnp.float32) for ci in range(4)], axis=0
+    )  # [4, 1] splat of the SMEM carries
+    v = v + jnp.where(no_head_yet, carr, 0.0)
     # next window's carry = this window's adjusted last row (masked lane
     # reduce: Mosaic cannot scalar-extract a computed vector lane)
     last_mask = (
         lax.broadcasted_iota(jnp.int32, (1, w_full), 1) == w_full - 1
     )
-    new_carry = [jnp.sum(jnp.where(last_mask, v[ci], 0.0)) for ci in range(4)]
+    new_carry = [
+        jnp.sum(jnp.where(last_mask, v[ci : ci + 1], 0.0)) for ci in range(4)
+    ]
     for ci in range(4):
         carry[0, ci] = new_carry[ci]
 
     key_f = key.astype(jnp.float32)
-    cnt_end = jnp.where(is_end, v[3], 0.0)
+    cnt_end = jnp.where(is_end, v[3:4], 0.0)
     tmp[0:1, :] = key_f
-    tmp[1:2, :] = v[0]
-    tmp[2:3, :] = v[1]
-    tmp[3:4, :] = v[2]
+    tmp[1:4, :] = v[0:3]
     tmp[4:5, :] = cnt_end
     tmp[5:6, :] = jnp.where(is_end, 1.0, 0.0)
 
@@ -257,13 +263,16 @@ def _xla_fallback(skey, offs, sentinel: int, capacity: int, group: int):
     valid, heads, is_end = _flags(skey, sentinel)
 
     hw = heads.astype(jnp.int32).reshape(steps, w)
-    chans = [offs[c].reshape(steps, w) for c in range(3)]
-    chans.append(jnp.where(valid, 1.0, 0.0).reshape(steps, w))
-    local = _scan_channels(chans, hw, w)  # the kernel's exact step sequence
+    ch = jnp.stack(
+        [offs[c].reshape(steps, w) for c in range(3)]
+        + [jnp.where(valid, 1.0, 0.0).reshape(steps, w)],
+        axis=0,
+    )  # [4, steps, w]
+    local = _scan_channels(ch, hw, w)  # the kernel's exact step sequence
 
     no_head_yet = _cum_or(hw) == 0  # [steps, w]
 
-    lastcol = jnp.stack([v[:, -1] for v in local], axis=-1)  # [steps, 4]
+    lastcol = local[..., -1].T  # [steps, 4]
     gate = no_head_yet[:, -1]  # whole window continues the open segment
 
     def carry_step(c, x):
@@ -273,7 +282,9 @@ def _xla_fallback(skey, offs, sentinel: int, capacity: int, group: int):
 
     _, carries = lax.scan(carry_step, jnp.zeros((4,), jnp.float32), (lastcol, gate))
     adj = [
-        (local[ci] + jnp.where(no_head_yet, carries[:, ci : ci + 1], 0.0)).reshape(n)
+        (local[ci] + jnp.where(no_head_yet, carries[:, ci : ci + 1], 0.0)).reshape(
+            n
+        )
         for ci in range(4)
     ]
 
