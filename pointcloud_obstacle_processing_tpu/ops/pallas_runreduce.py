@@ -80,7 +80,7 @@ def _scan_channels(vals, flags, w: int):
 
 def _kernel(
     meta_ref, excl_ref, key_ref, offs_ref, out_ref, scratch, tmp, carry,
-    sem, sem2, *, group: int, capacity: int, sentinel: int,
+    sem, sem2, *, group: int, capacity: int, sentinel: int, flush: int,
 ):
     """One grid step: scan + reduce + compact ``group`` 128-lane blocks.
 
@@ -190,8 +190,11 @@ def _kernel(
         lstart = excl_ref[0, 0, i * group + g] - step_start
         scratch[pl.ds(base + lstart, 128), 0:5] = block_out
 
-    # window flush: identical DMA contract to pallas_compaction._kernel
-    ws = min(512, w_full)
+    # window flush: identical DMA contract to pallas_compaction._kernel.
+    # ``flush`` trades the unconditional copy size against how often the
+    # conditional full-window remainder fires: best when it comfortably
+    # exceeds the expected run-end count per window (~density * W).
+    ws = min(flush, w_full)
     written = excl_ref[0, 0, (i + 1) * group] - step_start
     start1 = jnp.minimum(step_start, capacity)
 
@@ -298,7 +301,7 @@ def _xla_fallback(skey, offs, sentinel: int, capacity: int, group: int):
     return vals, num
 
 
-def _pallas_batched(skey, offs, sentinel, capacity, group, interpret):
+def _pallas_batched(skey, offs, sentinel, capacity, group, flush, interpret):
     """skey [B, N] int32, offs [B, 3, N] f32 -> (vals [B, capacity, 5], num [B])."""
     bsz, n = skey.shape
     w = group * 128
@@ -328,7 +331,8 @@ def _pallas_batched(skey, offs, sentinel, capacity, group, interpret):
     s_pad = capacity + w
     out = pl.pallas_call(
         functools.partial(
-            _kernel, group=group, capacity=capacity, sentinel=sentinel
+            _kernel, group=group, capacity=capacity, sentinel=sentinel,
+            flush=flush,
         ),
         grid=(bsz, steps),
         in_specs=[
@@ -371,6 +375,7 @@ def sorted_run_reduce(
     group: int | None = None,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    flush: int | None = None,
 ):
     """Per-run (key, sum_x, sum_y, sum_z, count) of a key-sorted buffer,
     compacted to the first ``capacity`` runs in ascending key order.
@@ -389,10 +394,16 @@ def sorted_run_reduce(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and pl is not None
     if group is None:
-        # preferred window size by table scale (measured for the compaction
-        # kernel, docs/PERFORMANCE.md); degrade to whatever divides N
-        pref = 8 if n // 128 <= 4096 else 32
-        group = next(g for g in (pref, 8, 4, 2, 1) if n % (g * 128) == 0)
+        # big windows win at every measured scale (fewer sequential grid
+        # steps; scripts/tpu_experiments24.py); degrade to whatever divides N
+        group = next(g for g in (32, 8, 4, 2, 1) if n % (g * 128) == 0)
+    if flush is None:
+        # flagship-scale tables (<= 512k rows): ONE unconditional
+        # full-window copy per step beats the conditional two-tier flush
+        # (9.3 -> 5.9 ms/batch-of-32 at 131k rows, group 32); huge windows
+        # (the 2M-row fullscale accumulation, run density ~1/12) prefer the
+        # small quantum (3.7 vs 4.0 ms) — measured, tpu_experiments24.py.
+        flush = group * 128 if n // 128 <= 4096 else 512
     if n % (group * 128):
         raise ValueError(f"N={n} must be a multiple of group*128={group*128}")
     if not use_pallas:
@@ -401,7 +412,7 @@ def sorted_run_reduce(
     @jax.custom_batching.custom_vmap
     def run(k, o):
         vals, num = _pallas_batched(
-            k[None], o[None], sentinel, capacity, group, interpret
+            k[None], o[None], sentinel, capacity, group, flush, interpret
         )
         return vals[0], num[0]
 
@@ -410,7 +421,7 @@ def sorted_run_reduce(
         del axis_size
         if not (in_batched[0] and in_batched[1]):  # pragma: no cover
             raise NotImplementedError("sorted_run_reduce: vmap over both args")
-        vals, num = _pallas_batched(k, o, sentinel, capacity, group, interpret)
+        vals, num = _pallas_batched(k, o, sentinel, capacity, group, flush, interpret)
         return (vals, num), (True, True)
 
     return run(skey, offs)

@@ -42,22 +42,25 @@ def _ground_truth(skey, offs, sentinel, capacity):
 
 
 @pytest.mark.parametrize(
-    "n,n_runs,n_valid,cap,group",
+    "n,n_runs,n_valid,cap,group,flush",
     [
-        (1024, 50, 700, 128, 8),
-        (2048, 300, 2048, 512, 8),  # no invalid tail
-        (1024, 1, 600, 16, 4),      # one giant run spanning many windows
-        (4096, 900, 3100, 1024, 8),
-        (1024, 200, 512, 64, 1),    # window = one 128-block
+        (1024, 50, 700, 128, 8, 512),
+        (2048, 300, 2048, 512, 8, 512),   # no invalid tail
+        (1024, 1, 600, 16, 4, 512),       # one giant run spanning many windows
+        (4096, 900, 3100, 1024, 8, 512),
+        (1024, 200, 512, 64, 1, 512),     # window = one 128-block
+        (4096, 900, 3100, 1024, 8, 1024), # flush == window: no remainder tier
+        (4096, 900, 3100, 1024, 16, 256), # small flush: remainder tier fires
     ],
 )
-def test_fused_matches_fallback_and_truth(n, n_runs, n_valid, cap, group):
+def test_fused_matches_fallback_and_truth(n, n_runs, n_valid, cap, group, flush):
     rng = np.random.default_rng(n + n_runs)
     sentinel = n_runs + 7
     skey, offs = _case(rng, n, n_runs, n_valid, sentinel)
 
     vals_p, num_p = sorted_run_reduce(
-        skey, offs, sentinel, cap, group=group, use_pallas=True, interpret=True
+        skey, offs, sentinel, cap, group=group, flush=flush,
+        use_pallas=True, interpret=True,
     )
     vals_f, num_f = sorted_run_reduce(
         skey, offs, sentinel, cap, group=group, use_pallas=False
