@@ -79,8 +79,9 @@ def _scan_channels(vals, flags, w: int):
 
 
 def _kernel(
-    meta_ref, excl_ref, key_ref, offs_ref, out_ref, scratch, tmp, carry,
-    sem, sem2, *, group: int, capacity: int, sentinel: int, flush: int,
+    meta_ref, excl_ref, key_ref, ox_ref, oy_ref, oz_ref, out_ref, scratch,
+    tmp, carry, sem, sem2, *, group: int, capacity: int, sentinel: int,
+    flush: int,
 ):
     """One grid step: scan + reduce + compact ``group`` 128-lane blocks.
 
@@ -95,7 +96,10 @@ def _kernel(
         of the run-end count, continued with ``num`` (as in
         pallas_compaction._kernel).
     key_ref:  [1, 1, 1, W] int32 sorted voxel keys (sentinel = invalid).
-    offs_ref: [1, 3, 1, W] f32 corner-relative offsets (sort payloads).
+    ox/oy/oz_ref: [1, 1, 1, W] f32 corner-relative offsets (the three sort
+        payload buffers, passed UNSTACKED: a [B, 3, N] stack would pad its
+        size-3 sublane dim to 8 on TPU — 2.7x read amplification — and
+        materialize an extra 50 MB/batch copy).
     out_ref:  [B, capacity + W, 128] f32 HBM (ANY); columns 0..4 =
         (key_f32, sum_x, sum_y, sum_z, count) at run-end rows.
     scratch:  [2*W, 128] f32 double-buffered staging (see
@@ -136,7 +140,8 @@ def _kernel(
             carry[0, ci] = 0.0
 
     ch = jnp.concatenate(
-        [offs_ref[0][:, 0, :], jnp.where(valid, 1.0, 0.0)], axis=0
+        [ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0], jnp.where(valid, 1.0, 0.0)],
+        axis=0,
     )  # [4, W]: channels on sublanes — one vector op per scan step
     v = _scan_channels(ch, heads, w_full)
 
@@ -301,8 +306,8 @@ def _xla_fallback(skey, offs, sentinel: int, capacity: int, group: int):
     return vals, num
 
 
-def _pallas_batched(skey, offs, sentinel, capacity, group, flush, interpret):
-    """skey [B, N] int32, offs [B, 3, N] f32 -> (vals [B, capacity, 5], num [B])."""
+def _pallas_batched(skey, ox, oy, oz, sentinel, capacity, group, flush, interpret):
+    """skey [B, N] int32, ox/oy/oz [B, N] f32 -> (vals [B, capacity, 5], num [B])."""
     bsz, n = skey.shape
     w = group * 128
     steps = n // w
@@ -344,14 +349,12 @@ def _pallas_batched(skey, offs, sentinel, capacity, group, flush, interpret):
                 (1, 1, a + group), lambda bi, i: (bi, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
+        ] + [
             pl.BlockSpec(
                 (1, 1, 1, w), lambda bi, i: (bi, 0, 0, i),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 3, 1, w), lambda bi, i: (bi, 0, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
+            )
+            for _ in range(4)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((bsz, s_pad, 128), jnp.float32),
@@ -363,7 +366,10 @@ def _pallas_batched(skey, offs, sentinel, capacity, group, flush, interpret):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(meta, excl, skey[:, None, None, :], offs[:, :, None, :])
+    )(
+        meta, excl, skey[:, None, None, :], ox[:, None, None, :],
+        oy[:, None, None, :], oz[:, None, None, :],
+    )
     return out[:, :capacity, :5], num
 
 
@@ -381,7 +387,9 @@ def sorted_run_reduce(
     compacted to the first ``capacity`` runs in ascending key order.
 
     ``skey``: [N] int32 ascending keys, ``sentinel`` for invalid rows
-    (sorted last).  ``offs``: [3, N] f32 per-row values to segment-sum.
+    (sorted last).  ``offs``: the per-row values to segment-sum — a tuple
+    of three [N] f32 arrays (preferred: the kernel consumes the three sort
+    payload buffers directly, no [3, N] stack) or one [3, N] array.
     N must be a multiple of 128*group.  Returns (vals [capacity, 5] f32,
     num [] int32); slots >= num are unspecified (callers mask), channel 0
     is the run key as f32 (exact for keys < 2^24).
@@ -406,22 +414,29 @@ def sorted_run_reduce(
         flush = group * 128 if n // 128 <= 4096 else 512
     if n % (group * 128):
         raise ValueError(f"N={n} must be a multiple of group*128={group*128}")
+    if isinstance(offs, (tuple, list)):
+        ox, oy, oz = offs
+    else:
+        ox, oy, oz = offs[0], offs[1], offs[2]
     if not use_pallas:
-        return _xla_fallback(skey, offs, sentinel, capacity, group)
+        return _xla_fallback(skey, (ox, oy, oz), sentinel, capacity, group)
 
     @jax.custom_batching.custom_vmap
-    def run(k, o):
+    def run(k, o1, o2, o3):
         vals, num = _pallas_batched(
-            k[None], o[None], sentinel, capacity, group, flush, interpret
+            k[None], o1[None], o2[None], o3[None], sentinel, capacity, group,
+            flush, interpret,
         )
         return vals[0], num[0]
 
     @run.def_vmap
-    def _rule(axis_size, in_batched, k, o):  # noqa: ANN001 - jax API signature
+    def _rule(axis_size, in_batched, k, o1, o2, o3):  # noqa: ANN001 - jax API
         del axis_size
-        if not (in_batched[0] and in_batched[1]):  # pragma: no cover
-            raise NotImplementedError("sorted_run_reduce: vmap over both args")
-        vals, num = _pallas_batched(k, o, sentinel, capacity, group, flush, interpret)
+        if not all(in_batched):  # pragma: no cover
+            raise NotImplementedError("sorted_run_reduce: vmap over all args")
+        vals, num = _pallas_batched(
+            k, o1, o2, o3, sentinel, capacity, group, flush, interpret
+        )
         return (vals, num), (True, True)
 
-    return run(skey, offs)
+    return run(skey, ox, oy, oz)

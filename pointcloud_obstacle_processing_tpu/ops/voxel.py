@@ -292,8 +292,7 @@ def _sort_segment_partials(
     skey, sox, soy, soz = lax.sort(
         (packed, off0[0], off0[1], off0[2]), num_keys=1, is_stable=True
     )
-    off = jnp.stack([sox, soy, soz], axis=0)
-    slot_vals, num = sorted_run_reduce(skey, off, sentinel, capacity)
+    slot_vals, num = sorted_run_reduce(skey, (sox, soy, soz), sentinel, capacity)
 
     target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
     out_valid = target < jnp.minimum(num, capacity)

@@ -127,17 +127,16 @@ def main():
     t = marg(f_sort)
     log(f"1. sort alone: {t*1e3:.2f} ms/batch")
 
-    # 2. sort -> stack -> reduce
+    # 2. sort -> reduce (payloads passed unstacked)
     def f_sr(v, p):
         skey, sox, soy, soz = jax.vmap(sorted_inputs)(p, v)
-        off = jnp.stack([sox, soy, soz], axis=1)
         vals, num = jax.vmap(
-            lambda k1, o1: sorted_run_reduce(k1, o1, K, capacity)
-        )(skey, off)
+            lambda k1, a, b, c: sorted_run_reduce(k1, (a, b, c), K, capacity)
+        )(skey, sox, soy, soz)
         return jnp.sum(vals) + jnp.sum(num).astype(jnp.float32)
 
     t = marg(f_sr)
-    log(f"2. sort+stack+reduce: {t*1e3:.2f} ms/batch")
+    log(f"2. sort+reduce (unstacked payloads): {t*1e3:.2f} ms/batch  [stacked: 14.55]")
 
     # 3. voxel_partials (adds slot decode)
     def f_vp(v, p):
