@@ -96,6 +96,11 @@ def _kernel(
         of the run-end count, continued with ``num`` (as in
         pallas_compaction._kernel).
     key_ref:  [1, 1, 1, W] int32 sorted voxel keys (sentinel = invalid).
+        (A direct [B, N] 2-D blocking of (1, w) is REJECTED by Mosaic —
+        the second-minor block dim must divide 8 or equal the array dim —
+        so the operands ride a [B, 1, 1, N] reshape whose T(1,128) layout
+        costs ~1.6 ms/batch per operand in relayout copies per XLA's cost
+        model; an 8-rows-per-step kernel would remove it.)
     ox/oy/oz_ref: [1, 1, 1, W] f32 corner-relative offsets (the three sort
         payload buffers, passed UNSTACKED: a [B, 3, N] stack would pad its
         size-3 sublane dim to 8 on TPU — 2.7x read amplification — and

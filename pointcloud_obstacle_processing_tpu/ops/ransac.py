@@ -126,14 +126,17 @@ def ransac_plane_once(
     ang = jnp.arccos(cosang)
     axis_ok = ang <= eps_angle
 
-    # --- score all hypotheses on the MXU ----------------------------------
-    # HIGHEST precision: bf16 MXU inputs (TPU default) would blur point-plane
-    # distances by more than the 0.04 threshold's useful resolution.
+    # --- score all hypotheses -----------------------------------------------
+    # Explicit full-f32 VPU mul-adds, not a dot: a K=3 contraction is too
+    # narrow for the MXU — the dot either truncates to bf16 (default
+    # precision, blurs point-plane distances beyond the 0.04 threshold's
+    # resolution) or pays HIGHEST's multi-pass cost on a 128-padded
+    # contraction.  Same expression tree on every backend — the pattern
+    # the outlier distance tiles use (ops/outliers.py).
     dists = jnp.abs(
-        jnp.dot(
-            pts, normals.T, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )
+        pts[:, 0:1] * normals.T[0][None, :]
+        + pts[:, 1:2] * normals.T[1][None, :]
+        + pts[:, 2:3] * normals.T[2][None, :]
         + ds[None, :]
     )  # [N, K]
     inl = (dists < thresh) & valid[:, None]

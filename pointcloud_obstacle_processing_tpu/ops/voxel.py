@@ -510,10 +510,19 @@ def merge_voxel_partials(
 
 
 def finalize_voxels(partials: VoxelPartials) -> VoxelResult:
-    """Partials -> centroid cloud."""
+    """Partials -> centroid cloud.
+
+    One reciprocal per voxel + three multiplies instead of three f32
+    divides (measured 0.43 -> 0.01 ms/batch at the flagship slot shape,
+    scripts/tpu_experiments29.py).  Both the divide and the multiplies
+    are correctly-rounded IEEE ops evaluated in the same order on every
+    backend, so TPU<->CPU bit-identity holds; the centroid differs from a
+    direct sums/counts by <= 1 ulp (two roundings instead of one), inside
+    every fidelity tolerance."""
     slot = lax.broadcasted_iota(jnp.int32, (partials.counts.shape[0], 1), 0)[:, 0]
     valid = slot < jnp.minimum(partials.num_voxels, partials.counts.shape[0])
-    centroids = partials.sums / jnp.maximum(partials.counts, 1.0)[:, None]
+    inv = 1.0 / jnp.maximum(partials.counts, 1.0)
+    centroids = partials.sums * inv[:, None]
     return VoxelResult(
         cloud=Cloud(points=centroids, valid=valid),
         num_voxels=partials.num_voxels,
