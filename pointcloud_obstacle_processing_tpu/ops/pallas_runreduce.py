@@ -47,6 +47,14 @@ from jax import lax
 
 __all__ = ["sorted_run_reduce"]
 
+# The 8-rows-per-step kernel (_kernel8) is bitwise-validated against the
+# fallback in interpret mode (tests/test_runreduce.py) but its Mosaic
+# lowering has NOT yet been exercised on hardware (the tunnel went down
+# mid-validation, scripts/tpu_experiments31.py) — keep it opt-in until a
+# device run confirms compile + bitwise equality, so the default TPU path
+# can never hit an unvalidated kernel.
+KERNEL8_ENABLED = False
+
 try:  # pallas import kept lazy-safe for backends without Mosaic
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -241,6 +249,160 @@ def _kernel(
             cp2.wait()
 
 
+def _kernel8(
+    meta_ref, excl_ref, key_ref, ox_ref, oy_ref, oz_ref, out_ref, scratch,
+    tmp, carry_v, sem, sem2, *, group: int, capacity: int, sentinel: int,
+    flush: int,
+):
+    """8-rows-per-step variant of ``_kernel``: grid (B/8, steps).
+
+    Each step scans/reduces/compacts the same window of EIGHT batch rows
+    at once.  Why: the 1-row kernel's [4, W] channel stack uses 4 of 8
+    VPU sublanes and its operands need a [B, 1, 1, N] reshape (Mosaic
+    rejects a (1, w) block on a [B, N] array — the second-minor block dim
+    must divide 8), whose T(1,128) layout forces relayout copies.  Eight
+    rows give a CHANNEL-MAJOR [32, W] stack (rows c*8+r — plain
+    concatenation, no interleave), full sublane utilization, 8x fewer
+    sequential grid steps, and direct (8, w)-blocked [B, N] operands.
+
+    Per-row arithmetic (windows, scan steps, carry adds) is IDENTICAL to
+    the 1-row kernel and the XLA fallback: the [32, W] ops are
+    elementwise over independent rows, so outputs stay bitwise equal.
+
+    carry_v: [32, 128] f32 VMEM — running segment sums per (channel,
+    row) in column 0 (VMEM instead of SMEM: the 32 carries are written
+    as one computed [32, 1] masked-lane reduce, which Mosaic cannot
+    scalar-extract into SMEM).
+    scratch: [2 * 8 * W, 128] — per-(buffer, row) staging regions,
+    the same overlapping-window DMA contract per row.
+    tmp: [48, W] — rows 0..7 key_f, 8..31 x/y/z scans (channel-major),
+    32..39 count-at-run-end, 40..47 is_end flags.
+    """
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    gstep = bb * pl.num_programs(1) + i
+    last = pl.num_programs(0) * pl.num_programs(1) - 1
+    w_full = group * 128
+    base = lax.rem(gstep, 2)
+
+    key = key_ref[...]  # [8, W] int32
+    valid = key < sentinel
+    prevcol = jnp.concatenate(
+        [jnp.full((1, 1), meta_ref[r, 1, i], jnp.int32) for r in range(8)],
+        axis=0,
+    )  # [8, 1]
+    nextcol = jnp.concatenate(
+        [jnp.full((1, 1), meta_ref[r, 0, i + 1], jnp.int32) for r in range(8)],
+        axis=0,
+    )
+    key_prev = jnp.concatenate([prevcol, key[:, :-1]], axis=1)
+    key_next = jnp.concatenate([key[:, 1:], nextcol], axis=1)
+    heads = (valid & (key != key_prev)).astype(jnp.int32)  # [8, W]
+    is_end = valid & (key != key_next)
+
+    @pl.when(i == 0)
+    def _reset_carry():
+        carry_v[:, 0:1] = jnp.zeros((32, 1), jnp.float32)
+
+    ch = jnp.concatenate(
+        [ox_ref[...], oy_ref[...], oz_ref[...], jnp.where(valid, 1.0, 0.0)],
+        axis=0,
+    )  # [32, W] channel-major (row c*8+r)
+    f_all = jnp.concatenate([heads] * 4, axis=0)  # [32, W]
+    v = _scan_channels(ch, f_all, w_full)
+
+    no_head_yet = _cum_or(heads) == 0  # [8, W]
+    nhy4 = jnp.concatenate([no_head_yet] * 4, axis=0)  # [32, W]
+    carr = carry_v[:, 0:1]  # [32, 1]
+    v = v + jnp.where(nhy4, carr, 0.0)
+    last_mask = lax.broadcasted_iota(jnp.int32, (1, w_full), 1) == w_full - 1
+    carry_v[:, 0:1] = jnp.sum(
+        jnp.where(last_mask, v, 0.0), axis=1, keepdims=True
+    )
+
+    key_f = key.astype(jnp.float32)  # [8, W]
+    cnt_end = jnp.where(is_end, v[24:32], 0.0)  # [8, W]
+    tmp[...] = jnp.concatenate(
+        [key_f, v[0:24], cnt_end, jnp.where(is_end, 1.0, 0.0)], axis=0
+    )  # [48, W]
+
+    lane_tri = (
+        lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        <= lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(jnp.bfloat16)
+    r_iota = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ws = min(flush, w_full)
+    cps = []
+    for r in range(8):
+        step_start = excl_ref[r, 0, i * group]
+        rbase = (base * 8 + r) * w_full
+        for g in range(group):
+            sl = slice(g * 128, (g + 1) * 128)
+            occ = tmp[40 + r : 41 + r, sl] > 0.0  # [1, 128]
+            ranks = (
+                lax.dot_general(
+                    occ.astype(jnp.bfloat16), lane_tri,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                - 1
+            )
+            sel = (ranks == r_iota) & occ  # [128, 128]
+            rows = (r, 8 + r, 16 + r, 24 + r, 32 + r)  # key, x, y, z, cnt
+            cols = [
+                jnp.sum(
+                    jnp.where(sel, tmp[ri : ri + 1, sl], 0.0),
+                    axis=1, keepdims=True,
+                )
+                for ri in rows
+            ]
+            block_out = jnp.concatenate(cols, axis=1)  # [128, 5]
+            lstart = excl_ref[r, 0, i * group + g] - step_start
+            scratch[pl.ds(rbase + lstart, 128), 0:5] = block_out
+
+        written = excl_ref[r, 0, (i + 1) * group] - step_start
+        start1 = jnp.minimum(step_start, capacity)
+        cp1 = pltpu.make_async_copy(
+            scratch.at[pl.ds(rbase, ws), :],
+            out_ref.at[bb * 8 + r, pl.ds(start1, ws), :],
+            sem,
+        )
+        cps.append((cp1, written, step_start, rbase, r))
+
+    # wait the PREVIOUS step's 8 copies before starting any of this
+    # step's (including the conditional remainder flushes): the
+    # overlapping-window contract requires later windows' writes to land
+    # after earlier windows'.
+    @pl.when(gstep > 0)
+    def _wait_prev():
+        for r in range(8):
+            pltpu.make_async_copy(
+                scratch.at[pl.ds(((1 - base) * 8 + r) * w_full, ws), :],
+                out_ref.at[bb * 8 + r, pl.ds(0, ws), :],
+                sem,
+            ).wait()
+
+    for cp, written, step_start, rbase, r in cps:
+        cp.start()
+        if ws < w_full:
+
+            @pl.when(written > ws - 128)
+            def _flush_rest(r=r, rbase=rbase, step_start=step_start):
+                start2 = jnp.minimum(step_start + ws, capacity + ws)
+                cp2 = pltpu.make_async_copy(
+                    scratch.at[pl.ds(rbase + ws, w_full - ws), :],
+                    out_ref.at[bb * 8 + r, pl.ds(start2, w_full - ws), :],
+                    sem2,
+                )
+                cp2.start()
+                cp2.wait()
+
+    @pl.when(gstep == last)
+    def _drain():
+        for cp, *_ in cps:
+            cp.wait()
+
+
 def _cum_or(flags):
     """Inclusive cumulative OR along the last axis via the same shift
     schedule as the scan (boolean — no rounding, any order identical)."""
@@ -378,6 +540,78 @@ def _pallas_batched(skey, ox, oy, oz, sentinel, capacity, group, flush, interpre
     return out[:, :capacity, :5], num
 
 
+def _pallas_batched8(skey, ox, oy, oz, sentinel, capacity, group, flush, interpret):
+    """8-rows-per-step launcher: pads B to a multiple of 8 and runs
+    ``_kernel8`` on grid (B/8, steps) with direct (8, w)-blocked [B, N]
+    operands.  Padded rows carry all-sentinel keys (num = 0; their
+    outputs are sliced off)."""
+    bsz0, n = skey.shape
+    pad = (-bsz0) % 8
+    if pad:
+        skey = jnp.concatenate(
+            [skey, jnp.full((pad, n), sentinel, skey.dtype)], axis=0
+        )
+        zeros = jnp.zeros((pad, n), ox.dtype)
+        ox = jnp.concatenate([ox, zeros], axis=0)
+        oy = jnp.concatenate([oy, zeros], axis=0)
+        oz = jnp.concatenate([oz, zeros], axis=0)
+    bsz = bsz0 + pad
+    w = group * 128
+    steps = n // w
+    a = n // 128
+
+    is_end = jax.vmap(lambda k: _flags(k, sentinel)[2])(skey)
+    per_block = jnp.sum(is_end.reshape(bsz, a, 128).astype(jnp.int32), axis=2)
+    offsets = jnp.cumsum(per_block, axis=1)
+    num = offsets[:, -1]
+    excl = offsets - per_block
+    excl = jnp.concatenate(
+        [excl, jnp.broadcast_to(num[:, None], (bsz, group))], axis=1
+    ).reshape(bsz, 1, a + group)
+
+    firsts = jnp.concatenate(
+        [skey[:, ::w], jnp.full((bsz, 1), -2, jnp.int32)], axis=1
+    )
+    prevs = jnp.concatenate(
+        [jnp.full((bsz, 1), -1, jnp.int32), skey[:, w - 1 :: w][:, : steps - 1]],
+        axis=1,
+    )
+    meta = jnp.stack([firsts, jnp.pad(prevs, ((0, 0), (0, 1)))], axis=1)
+
+    s_pad = capacity + w
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel8, group=group, capacity=capacity, sentinel=sentinel,
+            flush=flush,
+        ),
+        grid=(bsz // 8, steps),
+        in_specs=[
+            pl.BlockSpec(
+                (8, 2, steps + 1), lambda bb, i: (bb, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (8, 1, a + group), lambda bb, i: (bb, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ] + [
+            pl.BlockSpec((8, w), lambda bb, i: (bb, i), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, s_pad, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * 8 * w, 128), jnp.float32),
+            pltpu.VMEM((48, w), jnp.float32),
+            pltpu.VMEM((32, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(meta, excl, skey, ox, oy, oz)
+    return out[:bsz0, :capacity, :5], num[:bsz0]
+
+
 def sorted_run_reduce(
     skey: jax.Array,
     offs: jax.Array,
@@ -407,16 +641,21 @@ def sorted_run_reduce(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and pl is not None
     if group is None:
-        # big windows win at every measured scale (fewer sequential grid
-        # steps; scripts/tpu_experiments24.py); degrade to whatever divides N
-        group = next(g for g in (32, 8, 4, 2, 1) if n % (g * 128) == 0)
+        # ``group`` must be a pure function of N — never of batch size or
+        # backend — so the 1-row kernel, the 8-row kernel, and the XLA
+        # fallback all build the SAME window structure and stay bitwise
+        # equal (the TPU<->CPU crosscheck depends on it).  Flagship-scale
+        # tables take 8 (the 8-row kernel's VMEM budget caps w at 1024;
+        # its step-count/utilization win dominates the batch path);
+        # fullscale windows take 32 (batch is 1 there — the 1-row kernel
+        # runs, where bigger windows measured faster).
+        pref = 8 if n // 128 <= 4096 else 32
+        group = next(g for g in (pref, 8, 4, 2, 1) if n % (g * 128) == 0)
     if flush is None:
-        # flagship-scale tables (<= 512k rows): ONE unconditional
-        # full-window copy per step beats the conditional two-tier flush
-        # (9.3 -> 5.9 ms/batch-of-32 at 131k rows, group 32); huge windows
-        # (the 2M-row fullscale accumulation, run density ~1/12) prefer the
-        # small quantum (3.7 vs 4.0 ms) — measured, tpu_experiments24.py.
-        flush = group * 128 if n // 128 <= 4096 else 512
+        # 512 measured best at group 8 (9.26 vs 10.0 ms/batch full-window)
+        # and at the fullscale group-32 shape (3.67 vs 4.0) —
+        # tpu_experiments24.py.  DMA-only: no effect on values.
+        flush = 512
     if n % (group * 128):
         raise ValueError(f"N={n} must be a multiple of group*128={group*128}")
     if isinstance(offs, (tuple, list)):
@@ -436,12 +675,19 @@ def sorted_run_reduce(
 
     @run.def_vmap
     def _rule(axis_size, in_batched, k, o1, o2, o3):  # noqa: ANN001 - jax API
-        del axis_size
         if not all(in_batched):  # pragma: no cover
             raise NotImplementedError("sorted_run_reduce: vmap over all args")
-        vals, num = _pallas_batched(
-            k, o1, o2, o3, sentinel, capacity, group, flush, interpret
-        )
+        # 8-row kernel for real batches (pads B up to a multiple of 8);
+        # its per-row arithmetic is identical, so this choice is
+        # value-invisible.  group > 8 exceeds its VMEM scratch budget.
+        if axis_size >= 8 and group <= 8 and KERNEL8_ENABLED:
+            vals, num = _pallas_batched8(
+                k, o1, o2, o3, sentinel, capacity, group, flush, interpret
+            )
+        else:
+            vals, num = _pallas_batched(
+                k, o1, o2, o3, sentinel, capacity, group, flush, interpret
+            )
         return (vals, num), (True, True)
 
     return run(skey, ox, oy, oz)

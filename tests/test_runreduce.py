@@ -99,6 +99,35 @@ def test_fused_vmap_batched_grid():
         )
 
 
+@pytest.mark.parametrize("B", [8, 9, 11])
+def test_eight_row_kernel_matches_fallback(B, monkeypatch):
+    """Batches >= 8 route onto the 8-rows-per-step kernel (with padding
+    for non-multiples); outputs must stay bitwise equal to the fallback
+    per element."""
+    from pointcloud_obstacle_processing_tpu.ops import pallas_runreduce as prr
+
+    monkeypatch.setattr(prr, "KERNEL8_ENABLED", True)
+    rng = np.random.default_rng(100 + B)
+    n, cap, sentinel = 1024, 128, 61
+    ks, os_ = zip(*[
+        _case(rng, n, 60, n - 128 * (i % 5), sentinel) for i in range(B)
+    ])
+    skey = jnp.stack(ks)
+    offs = jnp.stack(os_)
+
+    f = lambda k, o: sorted_run_reduce(  # noqa: E731
+        k, o, sentinel, cap, group=8, use_pallas=True, interpret=True
+    )
+    vals_b, num_b = jax.vmap(f)(skey, offs)
+    for b in range(B):
+        vals_1, num_1 = sorted_run_reduce(
+            skey[b], offs[b], sentinel, cap, group=8, use_pallas=False
+        )
+        assert int(num_b[b]) == int(num_1)
+        kk = min(int(num_1), cap)
+        assert np.array_equal(np.asarray(vals_b)[b, :kk], np.asarray(vals_1)[:kk])
+
+
 def test_capacity_overflow_keeps_prefix():
     """More runs than capacity: the first ``capacity`` runs in ascending
     key order survive and num reports the true total (the voxel stage's
