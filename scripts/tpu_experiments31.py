@@ -159,7 +159,9 @@ def main():
         t = marg(red)
         log(f"reduce {name}: {t*1e3:.2f} ms/batch ({t/B*1e3:.3f} ms/scan)")
 
-    # --- composed voxel stage (new defaults: group 8, kernel8 via vmap) -----
+    # --- composed voxel stage: kernel8 vs 1-row, same process (A/B) ---------
+    from pointcloud_obstacle_processing_tpu.ops import pallas_runreduce as prr
+
     def chained(fn, m):
         def run(c):
             def body(carry, _):
@@ -178,13 +180,15 @@ def main():
         )
         return jnp.sum(r.cloud.points) + r.num_voxels.astype(jnp.float32)
 
-    fa, fb = chained(vox_full, 1), chained(vox_full, 4)
-    ta, tb = timed(fa, vcloud), timed(fb, vcloud)
-    if tb <= ta:
+    for label, flag in (("1-row", False), ("8-row", True), ("1-row again", False)):
+        prr.KERNEL8_ENABLED = flag  # consulted at trace time; fresh jits below
+        fa, fb = chained(vox_full, 1), chained(vox_full, 4)
         ta, tb = timed(fa, vcloud), timed(fb, vcloud)
-    t = (tb - ta) / 3.0
-    log(f"composed voxel stage (8-row defaults): {t*1e3:.2f} ms/batch "
-        f"({t/B*1e3:.3f} ms/scan)  [1-row g32 best: 21.2 / 0.662]")
+        if tb <= ta:
+            ta, tb = timed(fa, vcloud), timed(fb, vcloud)
+        t = (tb - ta) / 3.0
+        log(f"composed voxel stage [{label}]: {t*1e3:.2f} ms/batch "
+            f"({t/B*1e3:.3f} ms/scan)")
 
 
 if __name__ == "__main__":
