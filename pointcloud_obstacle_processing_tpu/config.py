@@ -90,6 +90,15 @@ class PipelineConfig:
     # lattice at band 512; docs/PERFORMANCE.md rejected list).  Requires
     # the sort engine and a <= 24-bit lattice.
     voxel_order: str = "lattice"
+    # Pack the sort engine's three f32 offset payloads into two int32
+    # columns (x|y 16-bit fixed point in one, z in the other; quantum =
+    # leaf/65536 ~ 0.6 um at leaf 0.04): the stable sort moves one fewer
+    # payload and the run-reduce kernel streams one fewer buffer,
+    # decoding in-register.  Centroids shift by <= one quantum (still
+    # bitwise-identical across TPU/CPU — both backends quantize the same
+    # way).  Default OFF pending a hardware A/B of the sort/reduce win
+    # (scripts/tpu_experiments32.py); requires the sort engine.
+    voxel_payload_packing: bool = False
 
     # ---- passthrough (cpp:944; dead code path :298-314) --------------------
     passthrough_filter_enable: bool = True
@@ -193,6 +202,11 @@ class PipelineConfig:
             raise ValueError(f"unknown voxel_order {self.voxel_order!r}")
         if self.voxel_order == "morton" and self.voxel_binning not in ("auto", "sort"):
             raise ValueError("voxel_order='morton' requires the sort engine")
+        if self.voxel_payload_packing and self.voxel_binning not in ("auto", "sort"):
+            raise ValueError(
+                "voxel_payload_packing requires the sort engine "
+                "(voxel_binning 'auto' or 'sort')"
+            )
         if self.cluster_band_window % 128:
             raise ValueError("cluster_band_window must be a multiple of 128")
 

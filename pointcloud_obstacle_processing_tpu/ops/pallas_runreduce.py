@@ -86,10 +86,25 @@ def _scan_channels(vals, flags, w: int):
     return v
 
 
+def _unpack_offsets(pxy, pz, quantum: float):
+    """16-bit fixed-point payload decode: ``pxy`` carries the x offset in
+    its high 16 bits and y in the low 16 (both quantized to ``quantum``
+    steps), ``pz`` the z offset.  x can fill bit 31, so the high-half
+    extract must be a LOGICAL shift (an arithmetic one would
+    sign-extend).  int -> f32 is exact for values < 2^16 and the single
+    quantum multiply is a correctly-rounded IEEE op, so the decode is
+    bitwise reproducible on every backend (the fallback runs this same
+    function)."""
+    q = jnp.float32(quantum)
+    ox = lax.shift_right_logical(pxy, 16).astype(jnp.float32) * q
+    oy = (pxy & 0xFFFF).astype(jnp.float32) * q
+    oz = pz.astype(jnp.float32) * q
+    return ox, oy, oz
+
+
 def _kernel(
-    meta_ref, excl_ref, key_ref, ox_ref, oy_ref, oz_ref, out_ref, scratch,
-    tmp, carry, sem, sem2, *, group: int, capacity: int, sentinel: int,
-    flush: int,
+    meta_ref, excl_ref, key_ref, a_ref, b_ref, *rest, group: int,
+    capacity: int, sentinel: int, flush: int, quantum: float | None = None,
 ):
     """One grid step: scan + reduce + compact ``group`` 128-lane blocks.
 
@@ -109,10 +124,16 @@ def _kernel(
         so the operands ride a [B, 1, 1, N] reshape whose T(1,128) layout
         costs ~1.6 ms/batch per operand in relayout copies per XLA's cost
         model; an 8-rows-per-step kernel would remove it.)
-    ox/oy/oz_ref: [1, 1, 1, W] f32 corner-relative offsets (the three sort
-        payload buffers, passed UNSTACKED: a [B, 3, N] stack would pad its
-        size-3 sublane dim to 8 on TPU — 2.7x read amplification — and
-        materialize an extra 50 MB/batch copy).
+    a/b_ref (+ oz_ref in ``rest``): the sort payload buffers, passed
+        UNSTACKED (a [B, 3, N] stack would pad its size-3 sublane dim to
+        8 on TPU — 2.7x read amplification — and materialize an extra
+        50 MB/batch copy).  Two layouts:
+        * quantum=None: three [1, 1, 1, W] f32 corner-relative offsets
+          (a=ox, b=oy, rest[0]=oz);
+        * quantum set: TWO int32 buffers (a=pxy, b=pz) carrying the
+          offsets as 16-bit fixed point — one fewer buffer through the
+          sort AND through this kernel's HBM->VMEM streams; decoded
+          in-register by ``_unpack_offsets``.
     out_ref:  [B, capacity + W, 128] f32 HBM (ANY); columns 0..4 =
         (key_f32, sum_x, sum_y, sum_z, count) at run-end rows.
     scratch:  [2*W, 128] f32 double-buffered staging (see
@@ -126,6 +147,10 @@ def _kernel(
     carry:    [1, 4] f32 SMEM — running segment sums (x, y, z, count) at
         the window boundary.
     """
+    if quantum is None:
+        oz_ref, out_ref, scratch, tmp, carry, sem, sem2 = rest
+    else:
+        out_ref, scratch, tmp, carry, sem, sem2 = rest
     bi = pl.program_id(0)
     i = pl.program_id(1)
     gstep = bi * pl.num_programs(1) + i
@@ -152,8 +177,12 @@ def _kernel(
         for ci in range(4):
             carry[0, ci] = 0.0
 
+    if quantum is None:
+        ox, oy, oz = a_ref[0, 0], b_ref[0, 0], oz_ref[0, 0]
+    else:
+        ox, oy, oz = _unpack_offsets(a_ref[0, 0], b_ref[0, 0], quantum)
     ch = jnp.concatenate(
-        [ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0], jnp.where(valid, 1.0, 0.0)],
+        [ox, oy, oz, jnp.where(valid, 1.0, 0.0)],
         axis=0,
     )  # [4, W]: channels on sublanes — one vector op per scan step
     v = _scan_channels(ch, heads, w_full)
@@ -250,9 +279,8 @@ def _kernel(
 
 
 def _kernel8(
-    meta_ref, excl_ref, key_ref, ox_ref, oy_ref, oz_ref, out_ref, scratch,
-    tmp, carry_v, sem, sem2, *, group: int, capacity: int, sentinel: int,
-    flush: int,
+    meta_ref, excl_ref, key_ref, a_ref, b_ref, *rest, group: int,
+    capacity: int, sentinel: int, flush: int, quantum: float | None = None,
 ):
     """8-rows-per-step variant of ``_kernel``: grid (B/8, steps).
 
@@ -278,6 +306,10 @@ def _kernel8(
     tmp: [48, W] — rows 0..7 key_f, 8..31 x/y/z scans (channel-major),
     32..39 count-at-run-end, 40..47 is_end flags.
     """
+    if quantum is None:
+        oz_ref, out_ref, scratch, tmp, carry_v, sem, sem2 = rest
+    else:
+        out_ref, scratch, tmp, carry_v, sem, sem2 = rest
     bb = pl.program_id(0)
     i = pl.program_id(1)
     gstep = bb * pl.num_programs(1) + i
@@ -304,8 +336,12 @@ def _kernel8(
     def _reset_carry():
         carry_v[:, 0:1] = jnp.zeros((32, 1), jnp.float32)
 
+    if quantum is None:
+        ox, oy, oz = a_ref[...], b_ref[...], oz_ref[...]
+    else:
+        ox, oy, oz = _unpack_offsets(a_ref[...], b_ref[...], quantum)
     ch = jnp.concatenate(
-        [ox_ref[...], oy_ref[...], oz_ref[...], jnp.where(valid, 1.0, 0.0)],
+        [ox, oy, oz, jnp.where(valid, 1.0, 0.0)],
         axis=0,
     )  # [32, W] channel-major (row c*8+r)
     f_all = jnp.concatenate([heads] * 4, axis=0)  # [32, W]
@@ -427,11 +463,16 @@ def _flags(skey, sentinel: int):
     return valid, heads, is_end
 
 
-def _xla_fallback(skey, offs, sentinel: int, capacity: int, group: int):
+def _xla_fallback(
+    skey, offs, sentinel: int, capacity: int, group: int,
+    quantum: float | None = None,
+):
     """Bitwise twin of the kernel: identical window scans + carry adds,
     exact gathers at the compacted run-end rows."""
     from .mxu_histogram import compact_occupied_blocks
 
+    if quantum is not None:
+        offs = _unpack_offsets(offs[0], offs[1], quantum)
     n = skey.shape[0]
     w = group * 128
     steps = n // w
@@ -473,8 +514,11 @@ def _xla_fallback(skey, offs, sentinel: int, capacity: int, group: int):
     return vals, num
 
 
-def _pallas_batched(skey, ox, oy, oz, sentinel, capacity, group, flush, interpret):
-    """skey [B, N] int32, ox/oy/oz [B, N] f32 -> (vals [B, capacity, 5], num [B])."""
+def _pallas_batched(
+    skey, bufs, sentinel, capacity, group, flush, interpret, quantum=None,
+):
+    """skey [B, N] int32, bufs = three [B, N] f32 offsets (quantum=None) or
+    two [B, N] int32 packed payloads -> (vals [B, capacity, 5], num [B])."""
     bsz, n = skey.shape
     w = group * 128
     steps = n // w
@@ -504,7 +548,7 @@ def _pallas_batched(skey, ox, oy, oz, sentinel, capacity, group, flush, interpre
     out = pl.pallas_call(
         functools.partial(
             _kernel, group=group, capacity=capacity, sentinel=sentinel,
-            flush=flush,
+            flush=flush, quantum=quantum,
         ),
         grid=(bsz, steps),
         in_specs=[
@@ -521,7 +565,7 @@ def _pallas_batched(skey, ox, oy, oz, sentinel, capacity, group, flush, interpre
                 (1, 1, 1, w), lambda bi, i: (bi, 0, 0, i),
                 memory_space=pltpu.VMEM,
             )
-            for _ in range(4)
+            for _ in range(1 + len(bufs))
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((bsz, s_pad, 128), jnp.float32),
@@ -534,13 +578,15 @@ def _pallas_batched(skey, ox, oy, oz, sentinel, capacity, group, flush, interpre
         ],
         interpret=interpret,
     )(
-        meta, excl, skey[:, None, None, :], ox[:, None, None, :],
-        oy[:, None, None, :], oz[:, None, None, :],
+        meta, excl, skey[:, None, None, :],
+        *[b[:, None, None, :] for b in bufs],
     )
     return out[:, :capacity, :5], num
 
 
-def _pallas_batched8(skey, ox, oy, oz, sentinel, capacity, group, flush, interpret):
+def _pallas_batched8(
+    skey, bufs, sentinel, capacity, group, flush, interpret, quantum=None,
+):
     """8-rows-per-step launcher: pads B to a multiple of 8 and runs
     ``_kernel8`` on grid (B/8, steps) with direct (8, w)-blocked [B, N]
     operands.  Padded rows carry all-sentinel keys (num = 0; their
@@ -551,10 +597,10 @@ def _pallas_batched8(skey, ox, oy, oz, sentinel, capacity, group, flush, interpr
         skey = jnp.concatenate(
             [skey, jnp.full((pad, n), sentinel, skey.dtype)], axis=0
         )
-        zeros = jnp.zeros((pad, n), ox.dtype)
-        ox = jnp.concatenate([ox, zeros], axis=0)
-        oy = jnp.concatenate([oy, zeros], axis=0)
-        oz = jnp.concatenate([oz, zeros], axis=0)
+        bufs = tuple(
+            jnp.concatenate([b, jnp.zeros((pad, n), b.dtype)], axis=0)
+            for b in bufs
+        )
     bsz = bsz0 + pad
     w = group * 128
     steps = n // w
@@ -582,7 +628,7 @@ def _pallas_batched8(skey, ox, oy, oz, sentinel, capacity, group, flush, interpr
     out = pl.pallas_call(
         functools.partial(
             _kernel8, group=group, capacity=capacity, sentinel=sentinel,
-            flush=flush,
+            flush=flush, quantum=quantum,
         ),
         grid=(bsz // 8, steps),
         in_specs=[
@@ -596,7 +642,7 @@ def _pallas_batched8(skey, ox, oy, oz, sentinel, capacity, group, flush, interpr
             ),
         ] + [
             pl.BlockSpec((8, w), lambda bb, i: (bb, i), memory_space=pltpu.VMEM)
-            for _ in range(4)
+            for _ in range(1 + len(bufs))
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((bsz, s_pad, 128), jnp.float32),
@@ -608,7 +654,7 @@ def _pallas_batched8(skey, ox, oy, oz, sentinel, capacity, group, flush, interpr
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(meta, excl, skey, ox, oy, oz)
+    )(meta, excl, skey, *bufs)
     return out[:bsz0, :capacity, :5], num[:bsz0]
 
 
@@ -621,6 +667,7 @@ def sorted_run_reduce(
     use_pallas: bool | None = None,
     interpret: bool = False,
     flush: int | None = None,
+    quantum: float | None = None,
 ):
     """Per-run (key, sum_x, sum_y, sum_z, count) of a key-sorted buffer,
     compacted to the first ``capacity`` runs in ascending key order.
@@ -629,6 +676,11 @@ def sorted_run_reduce(
     (sorted last).  ``offs``: the per-row values to segment-sum — a tuple
     of three [N] f32 arrays (preferred: the kernel consumes the three sort
     payload buffers directly, no [3, N] stack) or one [3, N] array.
+    With ``quantum`` set, ``offs`` is instead a tuple of TWO int32 arrays
+    (pxy, pz): x in pxy's high 16 bits, y in its low 16, z in pz — 16-bit
+    fixed-point multiples of ``quantum``, decoded in-kernel
+    (``_unpack_offsets``); one fewer payload buffer through the caller's
+    sort and this kernel's HBM streams.
     N must be a multiple of 128*group.  Returns (vals [capacity, 5] f32,
     num [] int32); slots >= num are unspecified (callers mask), channel 0
     is the run key as f32 (exact for keys < 2^24).
@@ -659,22 +711,26 @@ def sorted_run_reduce(
     if n % (group * 128):
         raise ValueError(f"N={n} must be a multiple of group*128={group*128}")
     if isinstance(offs, (tuple, list)):
-        ox, oy, oz = offs
+        bufs = tuple(offs)
     else:
-        ox, oy, oz = offs[0], offs[1], offs[2]
+        bufs = (offs[0], offs[1], offs[2])
+    if quantum is not None and len(bufs) != 2:
+        raise ValueError("quantum set: offs must be the (pxy, pz) int32 pair")
+    if quantum is None and len(bufs) != 3:
+        raise ValueError("offs must carry three offset buffers")
     if not use_pallas:
-        return _xla_fallback(skey, (ox, oy, oz), sentinel, capacity, group)
+        return _xla_fallback(skey, bufs, sentinel, capacity, group, quantum)
 
     @jax.custom_batching.custom_vmap
-    def run(k, o1, o2, o3):
+    def run(k, *bs):
         vals, num = _pallas_batched(
-            k[None], o1[None], o2[None], o3[None], sentinel, capacity, group,
-            flush, interpret,
+            k[None], tuple(b[None] for b in bs), sentinel, capacity, group,
+            flush, interpret, quantum,
         )
         return vals[0], num[0]
 
     @run.def_vmap
-    def _rule(axis_size, in_batched, k, o1, o2, o3):  # noqa: ANN001 - jax API
+    def _rule(axis_size, in_batched, k, *bs):  # noqa: ANN001 - jax API
         if not all(in_batched):  # pragma: no cover
             raise NotImplementedError("sorted_run_reduce: vmap over all args")
         # 8-row kernel for real batches (pads B up to a multiple of 8);
@@ -682,12 +738,12 @@ def sorted_run_reduce(
         # value-invisible.  group > 8 exceeds its VMEM scratch budget.
         if axis_size >= 8 and group <= 8 and KERNEL8_ENABLED:
             vals, num = _pallas_batched8(
-                k, o1, o2, o3, sentinel, capacity, group, flush, interpret
+                k, bs, sentinel, capacity, group, flush, interpret, quantum
             )
         else:
             vals, num = _pallas_batched(
-                k, o1, o2, o3, sentinel, capacity, group, flush, interpret
+                k, bs, sentinel, capacity, group, flush, interpret, quantum
             )
         return (vals, num), (True, True)
 
-    return run(skey, ox, oy, oz)
+    return run(skey, *bufs)

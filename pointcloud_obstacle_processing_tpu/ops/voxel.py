@@ -224,7 +224,7 @@ def _morton_decode(code, sched):
 
 def _sort_segment_partials(
     pts, valid, ijk, imin, dims, leaf_size: float, capacity: int,
-    order: str = "lattice",
+    order: str = "lattice", payload_packing: bool = False,
 ) -> VoxelPartials:
     """Stable-sort + fused run-reduce voxel reduction (the default path).
 
@@ -289,10 +289,35 @@ def _sort_segment_partials(
     )  # [3, N] channel-leading
     off0 = jnp.where(valid[None, :], pts.T - corner0, 0.0)
 
-    skey, sox, soy, soz = lax.sort(
-        (packed, off0[0], off0[1], off0[2]), num_keys=1, is_stable=True
-    )
-    slot_vals, num = sorted_run_reduce(skey, (sox, soy, soz), sentinel, capacity)
+    if payload_packing:
+        # 16-bit fixed-point payload packing: offsets lie in [0, leaf), so
+        # quantizing to leaf/65536 steps (~0.6 um at the flagship leaf —
+        # two orders below the 1e-5 centroid tolerance) lets x|y ride ONE
+        # int32 and z another: the stable sort moves 3 columns instead of
+        # 4 and the run-reduce kernel streams 2 payload buffers instead
+        # of 3, decoding in-register.  The truncating f32->int32 cast and
+        # the decode multiply are identical correctly-rounded ops on
+        # every backend, so TPU<->CPU bit-identity is preserved; only the
+        # centroid-vs-exact error budget changes (by <= one quantum).
+        quantum = leaf_size / 65536.0
+        q = jnp.float32(65536.0 / leaf_size)
+        qx = jnp.clip((off0[0] * q).astype(jnp.int32), 0, 65535)
+        qy = jnp.clip((off0[1] * q).astype(jnp.int32), 0, 65535)
+        qz = jnp.clip((off0[2] * q).astype(jnp.int32), 0, 65535)
+        pxy = lax.shift_left(qx, 16) | qy
+        skey, spxy, spz = lax.sort(
+            (packed, pxy, qz), num_keys=1, is_stable=True
+        )
+        slot_vals, num = sorted_run_reduce(
+            skey, (spxy, spz), sentinel, capacity, quantum=quantum
+        )
+    else:
+        skey, sox, soy, soz = lax.sort(
+            (packed, off0[0], off0[1], off0[2]), num_keys=1, is_stable=True
+        )
+        slot_vals, num = sorted_run_reduce(
+            skey, (sox, soy, soz), sentinel, capacity
+        )
 
     target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
     out_valid = target < jnp.minimum(num, capacity)
@@ -326,6 +351,7 @@ def _sort_segment_partials(
 def voxel_partials(
     cloud: Cloud, leaf_size: float, capacity: int, bounds=None,
     sum_precision: str = "exact", binning: str = "auto", order: str = "lattice",
+    payload_packing: bool = False,
 ) -> VoxelPartials:
     """Bin points into voxels and return per-voxel (key, sum, count).
 
@@ -361,7 +387,13 @@ def voxel_partials(
     if packable and binning in ("auto", "sort") and n % 128 == 0:
         imin, dims = spec
         return _sort_segment_partials(
-            pts, valid, ijk, imin, dims, leaf_size, capacity, order
+            pts, valid, ijk, imin, dims, leaf_size, capacity, order,
+            payload_packing,
+        )
+    if payload_packing:
+        raise ValueError(
+            "voxel payload packing is only defined for the sort engine "
+            "(packable bounds, capacity % 128 == 0)"
         )
     if binning == "sort":
         # An EXPLICIT engine request must not silently change engines:
@@ -533,10 +565,12 @@ def finalize_voxels(partials: VoxelPartials) -> VoxelResult:
 def voxel_downsample(
     cloud: Cloud, leaf_size: float, max_voxels: int, bounds=None,
     sum_precision: str = "exact", binning: str = "auto", order: str = "lattice",
+    payload_packing: bool = False,
 ) -> VoxelResult:
     """Downsample to per-voxel centroids.  See module docstring."""
     return finalize_voxels(
         voxel_partials(
-            cloud, leaf_size, max_voxels, bounds, sum_precision, binning, order
+            cloud, leaf_size, max_voxels, bounds, sum_precision, binning, order,
+            payload_packing,
         )
     )

@@ -154,6 +154,7 @@ def process_scan_point_sharded(
         config.voxel_sum_precision,
         config.voxel_binning,
         config.voxel_order,  # 'lattice' (guarded above): shards and merge agree
+        config.voxel_payload_packing,  # quantizes shard partials identically
     )
     merged = merge_voxel_partials(
         VoxelPartials(

@@ -83,6 +83,7 @@ def process_scan(
         vox = voxel_downsample(
             cropped, config.downsample_leaf_size, config.max_voxels, bounds,
             config.voxel_sum_precision, config.voxel_binning, config.voxel_order,
+            config.voxel_payload_packing,
         )
         voxel_cloud = vox.cloud
         n_voxels = vox.num_voxels

@@ -146,6 +146,24 @@ def main():
         t = marg(fn, vcloud)
         log(f"{name}: {t*1e3:.2f} ms/batch-of-32 ({t/32*1e3:.3f} ms/scan)")
 
+    # ---- (a2) composed voxel stage: packed vs unpacked product paths -------
+    from pointcloud_obstacle_processing_tpu.ops.voxel import voxel_downsample
+
+    def vox_stage(packing):
+        def f(cloud):
+            r = voxel_downsample(
+                cloud, leaf, cfg.max_voxels, bounds,
+                cfg.voxel_sum_precision, "sort", "lattice", packing,
+            )
+            return jnp.sum(r.cloud.points[::64]) + r.num_voxels.astype(
+                jnp.float32
+            )
+        return f
+
+    for name, packing in (("voxel unpacked", False), ("voxel packed", True)):
+        t = marg(vox_stage(packing), vcloud)
+        log(f"{name}: {t*1e3:.2f} ms/batch-of-32 ({t/32*1e3:.3f} ms/scan)")
+
     # ---- (b) batch scaling: 32 vs 64 ---------------------------------------
     keys32 = jax.random.split(jax.random.PRNGKey(0), 32)
     keys64 = jax.random.split(jax.random.PRNGKey(0), 64)

@@ -128,6 +128,67 @@ def test_eight_row_kernel_matches_fallback(B, monkeypatch):
         assert np.array_equal(np.asarray(vals_b)[b, :kk], np.asarray(vals_1)[:kk])
 
 
+def _packed_case(rng, n, n_runs, n_valid, sentinel, leaf=0.04):
+    """Sorted keys + offsets in [0, leaf) packed as 16-bit fixed point
+    (the voxel payload-packing layout: x|y in one int32, z in another)."""
+    skey, _ = _case(rng, n, n_runs, n_valid, sentinel)
+    offs = np.zeros((3, n), np.float32)
+    offs[:, :n_valid] = (
+        rng.uniform(0.0, leaf, (3, n_valid)).astype(np.float32)
+    )
+    q = np.float32(65536.0 / leaf)
+    qi = np.clip((offs * q).astype(np.int32), 0, 65535)
+    pxy = (qi[0] << 16) | qi[1]
+    pz = qi[2]
+    quantum = leaf / 65536.0
+    # the values the reduction actually sums: the decoded fixed point
+    dec = qi.astype(np.float32) * np.float32(quantum)
+    return skey, jnp.asarray(pxy), jnp.asarray(pz), dec, quantum
+
+
+@pytest.mark.parametrize("kernel8", [False, True])
+def test_packed_payloads_match_fallback_and_truth(kernel8, monkeypatch):
+    """quantum-mode: (pxy, pz) int32 payloads decode in-kernel; kernel and
+    fallback stay bitwise equal and match the NumPy truth of the DECODED
+    offsets (keys/counts exact, sums to f32 tolerance)."""
+    from pointcloud_obstacle_processing_tpu.ops import pallas_runreduce as prr
+
+    rng = np.random.default_rng(77 + kernel8)
+    n, n_runs, cap, sentinel = 1024, 150, 256, 200
+    B = 9 if kernel8 else 3
+    if kernel8:
+        monkeypatch.setattr(prr, "KERNEL8_ENABLED", True)
+
+    cases = [
+        _packed_case(rng, n, n_runs, n - 128 * (i % 4), sentinel)
+        for i in range(B)
+    ]
+    skey = jnp.stack([c[0] for c in cases])
+    pxy = jnp.stack([c[1] for c in cases])
+    pz = jnp.stack([c[2] for c in cases])
+    quantum = cases[0][4]
+
+    f = lambda k, a, b: sorted_run_reduce(  # noqa: E731
+        k, (a, b), sentinel, cap, group=8, quantum=quantum,
+        use_pallas=True, interpret=True,
+    )
+    vals_b, num_b = jax.vmap(f)(skey, pxy, pz)
+    for b in range(B):
+        vals_1, num_1 = sorted_run_reduce(
+            skey[b], (pxy[b], pz[b]), sentinel, cap, group=8,
+            quantum=quantum, use_pallas=False,
+        )
+        assert int(num_b[b]) == int(num_1)
+        kk = min(int(num_1), cap)
+        assert np.array_equal(np.asarray(vals_b)[b, :kk], np.asarray(vals_1)[:kk])
+        gt, n_true = _ground_truth(skey[b], cases[b][3], sentinel, cap)
+        assert int(num_1) == n_true
+        got = np.asarray(vals_1)[:kk]
+        assert np.array_equal(got[:, 0], gt[:kk, 0])
+        assert np.array_equal(got[:, 4], gt[:kk, 4])
+        np.testing.assert_allclose(got[:, 1:4], gt[:kk, 1:4], rtol=1e-5, atol=1e-6)
+
+
 def test_capacity_overflow_keeps_prefix():
     """More runs than capacity: the first ``capacity`` runs in ascending
     key order survive and num reports the true total (the voxel stage's

@@ -94,6 +94,43 @@ def test_voxel_bounded_paths_match_oracle(rng):
         )
 
 
+def test_voxel_payload_packing_matches_oracle(rng):
+    """The packed-payload sort path (x|y/z offsets as 16-bit fixed point)
+    must keep voxel SET semantics exact (keys/counts) and centroids within
+    one quantum (= leaf/65536) of the unpacked engine and the oracle."""
+    pts = rng.uniform([0, 0, -0.5], [4.5, 3.78, 0.25], size=(4000, 3)).astype(
+        np.float32
+    )
+    cloud = Cloud.pad_to(pts, 4096)
+    bounds = ((0.0, 0.0, -0.5), (4.5, 3.78, 0.25))
+    leaf = 0.06
+    want = oracle.voxel_downsample(pts, leaf)
+    res_p = jax.jit(
+        lambda c: voxel_downsample(
+            c, leaf, 4096, bounds, payload_packing=True
+        )
+    )(cloud)
+    res_u = voxel_downsample(cloud, leaf, 4096, bounds)
+    assert int(res_p.num_voxels) == int(res_u.num_voxels) == len(want)
+    got_p = np.asarray(res_p.cloud.points)[np.asarray(res_p.cloud.valid)]
+    got_u = np.asarray(res_u.cloud.points)[np.asarray(res_u.cloud.valid)]
+    quantum = leaf / 65536.0
+    np.testing.assert_allclose(
+        _sorted_rows(got_p, leaf), _sorted_rows(got_u, leaf),
+        atol=2 * quantum,
+    )
+    np.testing.assert_allclose(
+        _sorted_rows(got_p, leaf), _sorted_rows(want, leaf), atol=1e-4
+    )
+
+
+def test_voxel_payload_packing_requires_sort_engine():
+    cloud = Cloud(points=np.zeros((100, 3), np.float32), valid=np.zeros(100, bool))
+    with pytest.raises(ValueError, match="payload packing"):
+        # capacity 100 is not a multiple of 128 => sort engine unavailable
+        voxel_downsample(cloud, 0.1, 32, payload_packing=True)
+
+
 def test_voxel_scene_reduces_ground(rng):
     scene = make_scene(seed=1)
     cloud = Cloud.pad_to(scene.points, 131072)
