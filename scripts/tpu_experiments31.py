@@ -99,7 +99,7 @@ def main():
     # --- correctness on device: kernel8 vs fallback -------------------------
     v8, n8 = jax.jit(
         lambda k, a, b, c: _pallas_batched8(
-            k, a, b, c, K, capacity, 8, 512, False
+            k, (a, b, c), K, capacity, 8, 512, False
         )
     )(skey, sox, soy, soz)
     vf, nf = jax.jit(
@@ -121,6 +121,41 @@ def main():
             break
     log(f"kernel8 vs fallback (device, B=32): bitwise={ok}")
     assert ok
+
+    # --- packed payloads: both kernels vs packed fallback, on device --------
+    q = jnp.float32(65536.0 / leaf)
+    quantum = leaf / 65536.0
+
+    def packit(o):
+        return jnp.clip((o * q).astype(jnp.int32), 0, 65535)
+
+    pxy = lax.shift_left(packit(sox), 16) | packit(soy)
+    pz = packit(soz)
+    vpf, npf = jax.jit(
+        jax.vmap(
+            lambda k, a, b: sorted_run_reduce(
+                k, (a, b), K, capacity, group=8, use_pallas=False,
+                quantum=quantum,
+            )
+        )
+    )(skey, pxy, pz)
+    for label, launcher in (("1-row", _pallas_batched), ("8-row", _pallas_batched8)):
+        vp, np_ = jax.jit(
+            lambda k, a, b, L=launcher: L(
+                k, (a, b), K, capacity, 8, 512, False, quantum
+            )
+        )(skey, pxy, pz)
+        vp, np_ = np.asarray(vp), np.asarray(np_)
+        assert np.array_equal(np_, np.asarray(npf))
+        okp = all(
+            np.array_equal(
+                vp[b, : min(int(np_[b]), capacity)],
+                np.asarray(vpf)[b, : min(int(np_[b]), capacity)],
+            )
+            for b in range(B)
+        )
+        log(f"packed {label} vs packed fallback (device): bitwise={okp}")
+        assert okp
 
     # --- perf: isolated reduce, 1-row vs 8-row, same process ----------------
     def chain(fn, m):
@@ -153,7 +188,7 @@ def main():
         launcher = _pallas_batched8 if fn8 else _pallas_batched
 
         def red(k, a, b, c, L=launcher, gg=g, ff=f):
-            vals, num = L(k, a, b, c, K, capacity, gg, ff, False)
+            vals, num = L(k, (a, b, c), K, capacity, gg, ff, False)
             return jnp.sum(vals) + jnp.sum(num).astype(jnp.float32)
 
         t = marg(red)
