@@ -19,8 +19,11 @@ __all__ = [
     "REFERENCE_FULLSCALE_CONFIG",
 ]
 
-# The benchmark/flagship configuration: 100k-pt scans in a 128Ki buffer
-# (BASELINE.json north-star shape).  kNN runs the banded (rank-window
+# The benchmark/flagship configuration: 100k-pt scans (BASELINE.json
+# north-star contract) in a 100352-point buffer (= 784*128, the smallest
+# 128-aligned capacity holding a true 100k cloud — the old 128Ki buffer
+# spent 25% of every N-bound op on padding: 714.9 -> 761.9 scans/s,
+# scripts/tpu_experiments33.py).  kNN runs the banded (rank-window
 # grid-pruned) engine over the voxel-lattice-sorted cloud.
 # Capacities are sized to the workload with NO truncation (round 3): the
 # bench scenes occupy ~20.9-21.6k voxels at leaf 0.04 (the old 16384 cap
@@ -28,14 +31,18 @@ __all__ = [
 # (cluster_capacity 1024 = ~1.7x headroom; every cap is watched by a
 # StageStats overflow flag).  knn_band=512 re-validated at this capacity:
 # 0.13% of kNN means perturbed vs exact (scripts/tpu_experiments11.py).
+# voxel_payload_packing trades <=0.6 um of centroid quantization (two
+# orders below the crosscheck tolerance; PARITY deviation 11) for a
+# 1-key+2-payload sort: voxel stage 0.575 -> 0.534 ms/scan at this shape.
 FLAGSHIP_CONFIG = REFERENCE_YAML_CONFIG.replace(
-    max_points=131072,
+    max_points=100352,
     max_voxels=24576,
     cluster_capacity=1024,
     max_clusters=64,
     downsample_leaf_size=0.04,
     knn_backend="banded",
     knn_row_tile=256,  # smaller tiles = less total banded-window work
+    voxel_payload_packing=True,
 )
 
 # The authentic reference workload at full fidelity: a 200-frame
