@@ -69,6 +69,7 @@ def stage_prefix(k):
         vox = voxel_downsample(
             seed.cloud, cfg.downsample_leaf_size, cfg.max_voxels, bounds,
             cfg.voxel_sum_precision, cfg.voxel_binning, cfg.voxel_order,
+            cfg.voxel_payload_packing,
         )
         if k == 2:
             return scalarize(vox.cloud.points) + scalarize(vox.num_voxels)
