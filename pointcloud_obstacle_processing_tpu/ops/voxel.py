@@ -330,18 +330,29 @@ def _sort_segment_partials(
         lrem = slot_key % (dims[1] * dims[2])
         ly = lrem // dims[2] + imin[1]
         lz = lrem % dims[2] + imin[2]
-    keys = jnp.where(
-        out_valid[:, None], jnp.stack([lx, ly, lz], axis=-1), _I32_MAX
-    )
+    # Tail shape discipline (measured, scripts/tpu_experiments38/39.py):
+    # downstream of the kernel's lane-padded ANY output, [capacity, 3]
+    # channel-minor STACKS inside the expression cost +3..5 ms/batch-of-32
+    # at the flagship shape; computing each channel as a flat [capacity]
+    # vector and stacking ONCE at the end is 15.9 -> 12.6 ms/batch.  The
+    # per-element expression (operand order, masks) is unchanged, so
+    # values stay bitwise identical on every backend.
     slot_counts = slot_vals[:, 4]
-    slot_corner = (
-        jnp.stack([lx, ly, lz], axis=-1).astype(jnp.float32)
-        * jnp.float32(leaf_size)
-    )
-    slot_sums = slot_vals[:, 1:4] + slot_corner * slot_counts[:, None]
+    lf = jnp.float32(leaf_size)
+    key_cols = []
+    sum_cols = []
+    for ch, l in ((1, lx), (2, ly), (3, lz)):
+        key_cols.append(jnp.where(out_valid, l, _I32_MAX))
+        sum_cols.append(
+            jnp.where(
+                out_valid,
+                slot_vals[:, ch] + l.astype(jnp.float32) * lf * slot_counts,
+                0.0,
+            )
+        )
     return VoxelPartials(
-        keys=keys,
-        sums=jnp.where(out_valid[:, None], slot_sums, 0.0),
+        keys=jnp.stack(key_cols, axis=-1),
+        sums=jnp.stack(sum_cols, axis=-1),
         counts=jnp.where(out_valid, slot_counts, 0.0),
         num_voxels=num,
         overflow=num > capacity,
@@ -554,7 +565,15 @@ def finalize_voxels(partials: VoxelPartials) -> VoxelResult:
     slot = lax.broadcasted_iota(jnp.int32, (partials.counts.shape[0], 1), 0)[:, 0]
     valid = slot < jnp.minimum(partials.num_voxels, partials.counts.shape[0])
     inv = 1.0 / jnp.maximum(partials.counts, 1.0)
-    centroids = partials.sums * inv[:, None]
+    # channel-wise multiply + ONE final stack: slice-of-stack cancels with
+    # the sort engine's per-channel sums, so no [capacity, 3] channel-minor
+    # intermediate materializes between the kernel and the centroid cloud
+    # (measured +3.4 ms/batch otherwise — scripts/tpu_experiments39.py).
+    # Same per-element op and order as ``sums * inv[:, None]``: bitwise
+    # identical on every backend.
+    centroids = jnp.stack(
+        [partials.sums[:, c] * inv for c in range(3)], axis=-1
+    )
     return VoxelResult(
         cloud=Cloud(points=centroids, valid=valid),
         num_voxels=partials.num_voxels,
