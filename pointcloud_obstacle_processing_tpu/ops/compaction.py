@@ -52,11 +52,19 @@ def compact(cloud: Cloud, capacity_out: int | None = None) -> CompactResult:
             < jnp.minimum(count, capacity_out)
         )
         safe = jnp.where(out_valid, loc, 0)
-        out_pts = cloud.points[safe]
+        # CHANNEL-WISE 1-D gathers + one final stack: a 2-D ``points[safe]``
+        # gather forces XLA to materialize/relayout the [N, 3] channel-minor
+        # stack upstream (the voxel tail emits points as three fused [N]
+        # channel vectors; the 2-D gather broke that fusion for ~5 ms/batch
+        # in the pipeline context — scripts/tpu_experiments41/42.py).  The
+        # per-slot values are identical either way.
+        cols = [
+            jnp.where(out_valid, cloud.points[:, c][safe], 0.0) for c in range(3)
+        ]
         source_index = jnp.where(out_valid, loc, 0)
         return CompactResult(
             cloud=Cloud(
-                points=jnp.where(out_valid[:, None], out_pts, 0.0),
+                points=jnp.stack(cols, axis=-1),
                 valid=out_valid,
             ),
             count=jnp.minimum(count, capacity_out),

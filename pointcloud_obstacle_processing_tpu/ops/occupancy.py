@@ -142,9 +142,18 @@ def mark_obstacles(grid: jax.Array, cloud: Cloud, config: PipelineConfig) -> jax
     from .mxu_histogram import histogram2d_mxu
 
     index = grid_cell_index(cloud.points, config)
+    # channel-wise isfinite: an ``all(isfinite(points), axis=-1)`` over the
+    # [N, 3] stack forces XLA to materialize the channel-minor array the
+    # voxel tail keeps fused as three [N] vectors (scripts/
+    # tpu_experiments41/42.py); identical boolean result per row.
+    finite = (
+        jnp.isfinite(cloud.points[:, 0])
+        & jnp.isfinite(cloud.points[:, 1])
+        & jnp.isfinite(cloud.points[:, 2])
+    )
     ok = (
         cloud.valid
-        & jnp.all(jnp.isfinite(cloud.points), axis=-1)
+        & finite
         & (index >= 0)
         & (index < config.grid_size)
     )

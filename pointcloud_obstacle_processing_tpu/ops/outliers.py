@@ -259,12 +259,22 @@ def knn_mean_distances(
     n_q = -(-n // row_tile) * row_tile
 
     # Center to tame |p|^2-vs-cross-term cancellation in the expansion.
+    # CHANNEL-WISE throughout: the post-voxel cloud arrives as three fused
+    # [N] channel vectors (the voxel tail's layout discipline,
+    # docs/PERFORMANCE.md round 3); 2-D [N, 3] elementwise ops here would
+    # force XLA to materialize/relayout the channel-minor stack (~4
+    # ms/batch in the pipeline context, scripts/tpu_experiments41/42.py).
+    # Per-channel expressions are the same ops in the same order, so
+    # values are unchanged on every backend.
     denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-    center = jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0) / denom
     # Park invalid points at the center: their *columns* are masked out below,
     # and keeping coordinates small avoids inf/nan in the expansion.
-    p = jnp.where(valid[:, None], pts - center, 0.0)
-    p_sq = jnp.sum(p * p, axis=-1)
+    pch = []
+    for c in range(3):
+        col = pts[:, c]
+        center_c = jnp.sum(jnp.where(valid, col, 0.0)) / denom
+        pch.append(jnp.where(valid, col - center_c, 0.0))
+    p_sq = pch[0] * pch[0] + pch[1] * pch[1] + pch[2] * pch[2]
 
     row_ids = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
@@ -324,7 +334,7 @@ def knn_mean_distances(
 
     tiles = n_q // row_tile
     pad = n_q - n
-    q_p = jnp.pad(p, ((0, pad), (0, 0)))
+    q_ch = [jnp.pad(pc, (0, pad)) for pc in pch]  # three [n_q] channels
     q_sq = jnp.pad(p_sq, (0, pad))
     # padded query rows get ids >= n: they never match a column and their
     # outputs are sliced off below
@@ -348,7 +358,7 @@ def knn_mean_distances(
             and jax.default_backend() == "tpu"
         )
 
-        def _score_tile_planes(q, q_sq, q_ids, cols, cols_sq, c_ids, c_valid):
+        def _score_tile_planes(qc, q_sq, q_ids, colc, cols_sq, c_ids, c_valid):
             """Banded tile in PLANE layout: the [T, W] distance tile is
             computed directly as 16 position planes (plane p, chunk c =
             window column c*16+p) by reshaping the column operands — no
@@ -358,19 +368,23 @@ def knn_mean_distances(
             lanes); elsewhere as the XLA form (``_sortnet_mean``, planes
             [16, T, nc]).  Identical comparator sequence + elementwise
             distance expression => bitwise-identical results either way.
+            ``qc``/``colc`` are per-channel query/column vectors: the tile
+            is channel-wise end to end (same per-element expressions, so
+            the values are unchanged — no [., 3] stack to relayout).
             """
             nc = width // 16
+            qx, qy, qz = qc
 
             if use_pallas_net:
 
                 def as_planes(v):  # [W] -> [16, nc, 1]
                     return v.reshape(nc, 16).T[:, :, None]
 
-                cx, cy, cz = (as_planes(cols[:, a]) for a in range(3))
+                cx, cy, cz = (as_planes(c) for c in colc)
                 cross = (
-                    q[:, 0][None, None, :] * cx
-                    + q[:, 1][None, None, :] * cy
-                    + q[:, 2][None, None, :] * cz
+                    qx[None, None, :] * cx
+                    + qy[None, None, :] * cy
+                    + qz[None, None, :] * cz
                 )
                 d2 = q_sq[None, None, :] + as_planes(cols_sq) - 2.0 * cross
                 d2 = jnp.maximum(d2, 0.0)
@@ -381,11 +395,11 @@ def knn_mean_distances(
             def as_planes(v):  # [W] -> [16, 1, nc]
                 return v.reshape(nc, 16).T[:, None, :]
 
-            cx, cy, cz = (as_planes(cols[:, a]) for a in range(3))
+            cx, cy, cz = (as_planes(c) for c in colc)
             cross = (
-                q[:, 0][None, :, None] * cx
-                + q[:, 1][None, :, None] * cy
-                + q[:, 2][None, :, None] * cz
+                qx[None, :, None] * cx
+                + qy[None, :, None] * cy
+                + qz[None, :, None] * cz
             )
             d2 = q_sq[None, :, None] + as_planes(cols_sq) - 2.0 * cross
             d2 = jnp.maximum(d2, 0.0)
@@ -394,29 +408,37 @@ def knn_mean_distances(
             return _sortnet_mean([d2[i] for i in range(16)], k, big)
 
         def band_tile_fn(args):
-            q, qq, qi, start = args
-            cols = lax.dynamic_slice(p, (start, 0), (width, 3))
+            qx, qy, qz, qq, qi, start = args
+            colc = [lax.dynamic_slice(pc, (start,), (width,)) for pc in pch]
             cols_sq = lax.dynamic_slice(p_sq, (start,), (width,))
             c_ids = lax.dynamic_slice(row_ids, (start,), (width,))
             c_valid = lax.dynamic_slice(valid, (start,), (width,))
             if use_sortnet:
-                return _score_tile_planes(q, qq, qi, cols, cols_sq, c_ids, c_valid)
+                return _score_tile_planes(
+                    (qx, qy, qz), qq, qi, colc, cols_sq, c_ids, c_valid
+                )
+            q = jnp.stack([qx, qy, qz], axis=-1)
+            cols = jnp.stack(colc, axis=-1)
             return _score_tile(q, qq, qi, cols, cols_sq, c_ids, c_valid)
 
         out = lax.map(
             band_tile_fn,
             (
-                q_p.reshape(tiles, row_tile, 3),
+                q_ch[0].reshape(tiles, row_tile),
+                q_ch[1].reshape(tiles, row_tile),
+                q_ch[2].reshape(tiles, row_tile),
                 q_sq.reshape(tiles, row_tile),
                 q_ids.reshape(tiles, row_tile),
                 starts,
             ),
         )
     else:
+        p2d = jnp.stack(pch, axis=-1)
+        q_p = jnp.stack(q_ch, axis=-1)
 
         def tile_fn(args):
             q, qq, qi = args
-            return _score_tile(q, qq, qi, p, p_sq, row_ids, valid)
+            return _score_tile(q, qq, qi, p2d, p_sq, row_ids, valid)
 
         out = lax.map(
             tile_fn,
