@@ -100,6 +100,15 @@ def ransac_plane_once(
     eps_angle = jnp.float32(config.eps_angle_radians)
     axis = jnp.asarray(axis, jnp.float32)
 
+    # CHANNEL-WISE throughout: every [N, .] op runs on the three [N]
+    # channel vectors, never the [N, 3] channel-minor stack (3 -> 128
+    # lane padding, 32x bloat; materialized once per while-loop iteration
+    # otherwise).  Measured in pipeline context: segment_planes marginal
+    # 8.02 -> 1.75 ms/batch-of-32 (scripts/tpu_experiments43.py), with a
+    # bit-identical prefix checksum.  The [K]-sized hypothesis math is
+    # channel-wise too so the sampled-point gathers are 1-D.
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+
     # --- sample K valid triples -------------------------------------------
     # valid-first index permutation so a uniform draw over [0, n_valid)
     # indexes only real points (PCL samples uniformly from the index set).
@@ -113,16 +122,25 @@ def ransac_plane_once(
 
     u = jax.random.randint(key, (K, 3), 0, jnp.maximum(n_valid, 1))
     tri = perm[u]  # [K, 3] indices of sampled points
-    p0, p1, p2 = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+    i0, i1, i2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    p0x, p0y, p0z = x[i0], y[i0], z[i0]
+    p1x, p1y, p1z = x[i1], y[i1], z[i1]
+    p2x, p2y, p2z = x[i2], y[i2], z[i2]
 
-    normals = jnp.cross(p1 - p0, p2 - p0)
-    norms = jnp.linalg.norm(normals, axis=-1, keepdims=True)
-    degenerate = norms[:, 0] < 1e-12
-    normals = normals / jnp.maximum(norms, 1e-20)
-    ds = -jnp.sum(normals * p0, axis=-1)  # [K]
+    # cross(p1 - p0, p2 - p0), written out per channel
+    ux, uy, uz = p1x - p0x, p1y - p0y, p1z - p0z
+    vx, vy, vz = p2x - p0x, p2y - p0y, p2z - p0z
+    nx = uy * vz - uz * vy
+    ny = uz * vx - ux * vz
+    nz = ux * vy - uy * vx
+    norms = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    degenerate = norms < 1e-12
+    inv = 1.0 / jnp.maximum(norms, 1e-20)
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+    ds = -(nx * p0x + ny * p0y + nz * p0z)  # [K]
 
     # perpendicular-plane axis gate: angle(normal, axis) folded to [0, pi/2]
-    cosang = jnp.clip(jnp.abs(jnp.sum(normals * axis, axis=-1)), 0.0, 1.0)
+    cosang = jnp.clip(jnp.abs(nx * axis[0] + ny * axis[1] + nz * axis[2]), 0.0, 1.0)
     ang = jnp.arccos(cosang)
     axis_ok = ang <= eps_angle
 
@@ -134,9 +152,9 @@ def ransac_plane_once(
     # contraction.  Same expression tree on every backend — the pattern
     # the outlier distance tiles use (ops/outliers.py).
     dists = jnp.abs(
-        pts[:, 0:1] * normals.T[0][None, :]
-        + pts[:, 1:2] * normals.T[1][None, :]
-        + pts[:, 2:3] * normals.T[2][None, :]
+        x[:, None] * nx[None, :]
+        + y[:, None] * ny[None, :]
+        + z[:, None] * nz[None, :]
         + ds[None, :]
     )  # [N, K]
     inl = (dists < thresh) & valid[:, None]
@@ -145,7 +163,7 @@ def ransac_plane_once(
 
     best = jnp.argmax(counts)
     found = counts[best] > 0
-    normal = normals[best]
+    normal = jnp.stack([nx[best], ny[best], nz[best]])
     d = ds[best]
     inliers = inl[:, best]
 
@@ -155,16 +173,27 @@ def ransac_plane_once(
         w = inliers.astype(jnp.float32)
         n_inl = jnp.sum(w)
         cnt = jnp.maximum(n_inl, 3.0)
-        c = jnp.sum(pts * w[:, None], axis=0) / cnt
-        q = (pts - c) * w[:, None]
-        cov = jnp.dot(
-            q.T, pts - c, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+        cx = jnp.sum(x * w) / cnt
+        cy = jnp.sum(y * w) / cnt
+        cz = jnp.sum(z * w) / cnt
+        dx, dy, dz = x - cx, y - cy, z - cz
+        qx, qy, qz = dx * w, dy * w, dz * w
+        # 3x3 scatter matrix as nine explicit [N] mul-reductions (the
+        # former [3,N]x[N,3] HIGHEST matmul padded its 3-wide operands to
+        # 128 lanes; full-f32 either way)
+        cov = jnp.array(
+            [
+                [jnp.sum(qx * dx), jnp.sum(qx * dy), jnp.sum(qx * dz)],
+                [jnp.sum(qy * dx), jnp.sum(qy * dy), jnp.sum(qy * dz)],
+                [jnp.sum(qz * dx), jnp.sum(qz * dy), jnp.sum(qz * dz)],
+            ]
         )
         nrm = _smallest_eigvec_3x3(cov, normal)
         nrm = nrm * jnp.sign(jnp.sum(nrm * normal) + 1e-30)  # keep orientation
-        nd = -jnp.sum(nrm * c)
-        new_in = (jnp.abs(jnp.sum(pts * nrm, axis=-1) + nd) < thresh) & valid
+        nd = -(nrm[0] * cx + nrm[1] * cy + nrm[2] * cz)
+        new_in = (
+            jnp.abs(x * nrm[0] + y * nrm[1] + z * nrm[2] + nd) < thresh
+        ) & valid
         # PCL skips coefficient optimization below 3 inliers — without this,
         # a degenerate covariance collapses the normal and the zero plane
         # swallows the whole cloud.
