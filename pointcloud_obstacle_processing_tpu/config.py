@@ -122,10 +122,14 @@ class PipelineConfig:
     # half-width (in rank space) of the "banded" candidate window; the
     # window is knn_row_tile + 2*knn_band columns wide.
     knn_band: int = 512
-    # query-tile height of the tiled kNN scorer.  Window work scales with
-    # knn_row_tile + 2*knn_band, so smaller tiles do LESS total work on
-    # the banded path (measured best at 256 on v5e; below 128 the
-    # per-tile overhead wins).  Fidelity is band-dominated either way.
+    # query-tile height of the tiled kNN scorer.  Total banded-window
+    # work is N + 2*knn_band*N/knn_row_tile — LARGER tiles score strictly
+    # fewer window columns and give each row a SUPERSET candidate window
+    # (better fidelity) — but past the VMEM sweet spot the Pallas sortnet
+    # tile spills: measured best at 384 on v5e (26.22 ms/batch prefix-3
+    # vs 256's 27.00, 512's 27.49, 768's 33.11 —
+    # scripts/tpu_experiments44.py).  Must be a multiple of 128 for the
+    # Pallas network's lane tiling.
     knn_row_tile: int = 512
 
     # ---- RANSAC plane segmentation (cpp:969-970, :364-399) -----------------

@@ -41,7 +41,12 @@ FLAGSHIP_CONFIG = REFERENCE_YAML_CONFIG.replace(
     max_clusters=64,
     downsample_leaf_size=0.04,
     knn_backend="banded",
-    knn_row_tile=256,  # smaller tiles = less total banded-window work
+    # T=384 measured best under the Pallas sortnet (prefix-3 in context:
+    # 26.22 ms/batch vs 256's 27.00 and 512's 27.49; 768 spills VMEM —
+    # scripts/tpu_experiments44.py).  A larger tile also makes each row's
+    # candidate window a strict SUPERSET (rows of tile t cover
+    # [tT-band, tT+T+band)), so banded fidelity only improves.
+    knn_row_tile=384,
     voxel_payload_packing=True,
 )
 
