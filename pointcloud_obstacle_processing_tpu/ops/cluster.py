@@ -36,6 +36,15 @@ from jax import lax
 
 from ..types import Cloud, ClusterSet, PointIndicesArray, PointWithRad
 
+# Capacity bound for the one-hot segment-min/count forms below: XLA's
+# scatter serializes at ~20+ cycles/element (CLAUDE.md), charging the
+# sweep loop ~0.75 ms/batch-of-32 PER SWEEP at C=1024, while a fused
+# compare+select+min-reduce over [C, C] is a VPU pass XLA never
+# materializes.  min/count over int32 are associative-exact, so both
+# forms are bitwise identical; above this bound the [C, C] pass's O(C^2)
+# work overtakes the scatter's O(C) (fullscale C=16384 keeps scatters).
+ONEHOT_SEGMENT_MAX = 2048
+
 __all__ = ["euclidean_cluster", "cluster_centroids", "ClusterOutput"]
 
 
@@ -460,17 +469,37 @@ def euclidean_cluster(
         # 200-point permuted chain fails to converge within 64 sweeps
         # (measured), while the former explicit jump-to-fixpoint inner loop
         # (serialized gathers + per-jump `any` syncs) costs more than the
-        # sweeps it saves.
-        new = labels.at[labels].min(nbr_min)
+        # sweeps it saves.  At small capacities the scatter-min is a
+        # serialized ~20-cycles/element op that dominates the whole sweep
+        # loop; the one-hot segment-min below computes the identical int32
+        # minima as one fused [C, C] VPU pass (see ONEHOT_SEGMENT_MAX).
+        if n <= ONEHOT_SEGMENT_MAX:
+            upd = jnp.min(
+                jnp.where(
+                    labels[:, None] == idx[None, :], nbr_min[:, None], jnp.int32(n)
+                ),
+                axis=0,
+            )
+            new = jnp.minimum(labels, upd)
+        else:
+            new = labels.at[labels].min(nbr_min)
         new = jnp.minimum(new, nbr_min)
         return (new, jnp.any(new != labels), it + 1)
 
     labels, _, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
 
     # ---- component sizes & size gate --------------------------------------
-    sizes_by_root = jnp.zeros((n,), jnp.int32).at[
-        jnp.where(valid, labels, n)
-    ].add(1, mode="drop")
+    if n <= ONEHOT_SEGMENT_MAX:
+        # one-hot count: same serialized-scatter avoidance as the hook
+        # above; int32 adds are associative-exact, identical counts
+        sizes_by_root = jnp.sum(
+            ((labels[:, None] == idx[None, :]) & valid[:, None]).astype(jnp.int32),
+            axis=0,
+        )
+    else:
+        sizes_by_root = jnp.zeros((n,), jnp.int32).at[
+            jnp.where(valid, labels, n)
+        ].add(1, mode="drop")
     is_root = valid & (labels == idx)
     gate = is_root & (sizes_by_root >= min_size) & (sizes_by_root <= max_size)
     num_clusters_total = jnp.sum(gate.astype(jnp.int32))
@@ -512,25 +541,36 @@ def cluster_centroids(cloud: Cloud, clusters: ClusterSet) -> PointIndicesArray:
 
     The reference's dormant ``create_cluster_cloud``/``centroids`` output
     (obstacle_detection.cpp:806-814, msg/PointWithRad.msg) — first-class here
-    as two segment reduces (scatter-add centroid, scatter-max radius).
+    as ONE-HOT segment reduces over the [n, m] membership mask: XLA's
+    scatter-add/max serialize at ~20+ cycles/element (CLAUDE.md), while the
+    fused compare+select+reduce is a single VPU pass (m = max_clusters is
+    64, so the mask is tiny at every capacity).  Counts and maxima are
+    associative-exact; the f32 centroid sums move from a sequential-scatter
+    order to a tree-reduce order (normal f32 rounding, same program on
+    every backend — the TPU<->CPU crosscheck is unaffected).  Channel-wise
+    throughout (no [n, 3] stack materialization; see ops/ransac.py).
     """
     m = clusters.sizes.shape[0]
     pc = clusters.point_cluster
     ok = pc >= 0
-    ids = jnp.where(ok, pc, m)
+    slot = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    member = (pc[:, None] == slot) & ok[:, None]  # [n, m]
+    wm = member.astype(jnp.float32)
 
-    w = ok.astype(jnp.float32)
-    sums = jnp.zeros((m, 3), jnp.float32).at[ids].add(
-        cloud.points * w[:, None], mode="drop"
-    )
-    counts = jnp.zeros((m,), jnp.float32).at[ids].add(w, mode="drop")
-    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    x, y, z = cloud.points[:, 0], cloud.points[:, 1], cloud.points[:, 2]
+    counts = jnp.sum(wm, axis=0)
+    inv = 1.0 / jnp.maximum(counts, 1.0)
+    cx = jnp.sum(wm * x[:, None], axis=0) * inv
+    cy = jnp.sum(wm * y[:, None], axis=0) * inv
+    cz = jnp.sum(wm * z[:, None], axis=0) * inv
 
-    d = jnp.linalg.norm(cloud.points - centroids[jnp.clip(ids, 0, m - 1)], axis=-1)
-    radii = jnp.zeros((m,), jnp.float32).at[ids].max(
-        jnp.where(ok, d, 0.0), mode="drop"
-    )
+    dx = x[:, None] - cx[None, :]
+    dy = y[:, None] - cy[None, :]
+    dz = z[:, None] - cz[None, :]
+    d_all = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # [n, m]
+    radii = jnp.max(jnp.where(member, d_all, 0.0), axis=0)
 
+    centroids = jnp.stack([cx, cy, cz], axis=-1)
     xyzr = jnp.concatenate([centroids, radii[:, None]], axis=-1)
     xyzr = jnp.where(clusters.valid[:, None], xyzr, 0.0)
     return PointIndicesArray(points=PointWithRad(xyzr=xyzr), valid=clusters.valid)
