@@ -163,3 +163,30 @@ def test_banded_sweep_overflow_flag(rng):
         cloud, 0.4, 5, 20000, max_clusters=8, band_window=128
     )
     assert bool(out.band_overflow)
+
+
+def test_onehot_hook_matches_scatter(rng, monkeypatch):
+    """The one-hot segment-min hook / size count (C <= ONEHOT_SEGMENT_MAX)
+    and the scatter forms are the same associative int32 reductions — the
+    labels, sizes, and slot assignment must agree EXACTLY whichever form
+    the capacity gate picks."""
+    from pointcloud_obstacle_processing_tpu.ops import cluster as cm
+
+    centers = [(0, 0, 0), (1.2, 0.1, 0), (3, 0.5, 0), (0.5, 3, 0)]
+    pts = _blob_scene(rng, centers, n_per=90)
+    cloud = Cloud.pad_to(pts, 512)
+
+    fn = lambda c: euclidean_cluster(c, 0.4, 5, 20000, max_clusters=16)
+    monkeypatch.setattr(cm, "ONEHOT_SEGMENT_MAX", 0)
+    scat = jax.jit(fn)(cloud)
+    monkeypatch.setattr(cm, "ONEHOT_SEGMENT_MAX", 2048)
+    onehot = jax.jit(fn)(cloud)
+
+    np.testing.assert_array_equal(np.asarray(scat.labels), np.asarray(onehot.labels))
+    np.testing.assert_array_equal(
+        np.asarray(scat.clusters.sizes), np.asarray(onehot.clusters.sizes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(scat.clusters.point_cluster),
+        np.asarray(onehot.clusters.point_cluster),
+    )
