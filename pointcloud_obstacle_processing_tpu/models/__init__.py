@@ -60,15 +60,17 @@ FLAGSHIP_CONFIG = REFERENCE_YAML_CONFIG.replace(
 # knn_band widened: at leaf 0.015 a rank band must span more voxels per
 # x-slab (~550 valid/slab) to cover the same metric radius.
 # cluster_capacity 16384 = 2.3x headroom over the bench window's ~7k
-# non-plane points; the banded sweep (cluster_band_window=8192) halves
-# the sweep work and cannot truncate on the bench window (a window span
-# is bounded by the valid count, ~7k there), with cluster_band_overflow
-# guarding denser deployments.
+# non-plane points; the banded sweep scores cluster_band_window columns
+# per query tile instead of all 16384.  The bench window's measured
+# worst-case tile span is 3322 (p99 3263, scripts/span_probe.py), so
+# 4096 carries ~23% headroom — and cluster_band_overflow observably
+# flags any denser deployment that outgrows it (StageStats), the same
+# contract as every other capacity knob.
 REFERENCE_FULLSCALE_CONFIG = REFERENCE_YAML_CONFIG.replace(
     max_points=2 * 1024 * 1024,
     max_voxels=262144,
     cluster_capacity=16384,
-    cluster_band_window=8192,
+    cluster_band_window=4096,
     max_clusters=64,
     knn_backend="banded",
     knn_band=1792,

@@ -76,14 +76,27 @@ def _pallas_sweep_jump(
     from jax.experimental.pallas import tpu as pltpu
 
     C = pts.shape[0]
+    tiles = C // tile
 
-    def kernel(xs, ys, zs, lt, xr, yr, zr, sqc, sqr, lr, vc, vr, out):
-        cross = xs[:] * xr[:] + ys[:] * yr[:] + zs[:] * zr[:]  # [T, C]
-        d2 = sqc[:] + sqr[:] - 2.0 * cross
-        adj = (d2 <= tol2) & (vr[:] > 0) & (vc[:] > 0)
-        hit = adj | (lt[:] == _col_iota(d2.shape))
-        cand = jnp.where(hit, lr[:], jnp.int32(C))
-        out[:] = jnp.min(cand, axis=1, keepdims=True)
+    def kernel(any_ref, xs, ys, zs, lt, xr, yr, zr, sqc, sqr, lr, vc, vr, out):
+        # Valid-tile skip: the cloud arrives front-compacted (ops/compaction),
+        # so trailing query tiles are pure padding.  A fully-invalid tile's
+        # rows would each compute min(cand) = C (adj is all-false and the
+        # jump column lands on the row's own invalid index, whose lab_row
+        # entry is the C sentinel) — write that directly and skip the
+        # [T, C] distance work.  Bitwise identical by construction.
+        @pl.when(any_ref[0, pl.program_id(0)] > 0)
+        def _compute():
+            cross = xs[:] * xr[:] + ys[:] * yr[:] + zs[:] * zr[:]  # [T, C]
+            d2 = sqc[:] + sqr[:] - 2.0 * cross
+            adj = (d2 <= tol2) & (vr[:] > 0) & (vc[:] > 0)
+            hit = adj | (lt[:] == _col_iota(d2.shape))
+            cand = jnp.where(hit, lr[:], jnp.int32(C))
+            out[:] = jnp.min(cand, axis=1, keepdims=True)
+
+        @pl.when(any_ref[0, pl.program_id(0)] == 0)
+        def _skip():
+            out[:] = jnp.full((tile, 1), jnp.int32(C))
 
     def _col_iota(shape):
         return lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -93,16 +106,19 @@ def _pallas_sweep_jump(
 
     sq = jnp.sum(pts * pts, axis=-1)
     vi = valid.astype(jnp.int32)
+    tile_any = jnp.any(valid.reshape(tiles, tile), axis=1).astype(jnp.int32)
     # invalid points keep their (self) label out of every min: sentinel C
     lab_row = jnp.where(valid, labels, jnp.int32(C))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((C, 1), jnp.int32),
-        grid=(C // tile,),
-        in_specs=[col(), col(), col(), col(), row(), row(), row(),
+        grid=(tiles,),
+        in_specs=[pl.BlockSpec((1, tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                  col(), col(), col(), col(), row(), row(), row(),
                   col(), row(), row(), col(), row()],
         out_specs=col(),
     )(
+        tile_any.reshape(1, tiles),
         pts[:, 0:1], pts[:, 1:2], pts[:, 2:3], labels[:, None],
         pts[:, 0].reshape(1, C), pts[:, 1].reshape(1, C), pts[:, 2].reshape(1, C),
         sq.reshape(C, 1), sq.reshape(1, C),
@@ -287,46 +303,63 @@ def _pallas_sweep_jump_banded(
     )  # [8, C]
     wchunk = min(window, 2048)
 
-    def kernel(starts_ref, xs, ys, zs, lt, sqc, vc, fcols_hbm, out,
+    def kernel(starts_ref, any_ref, xs, ys, zs, lt, sqc, vc, fcols_hbm, out,
                fscr, sem1):
         i = pl.program_id(0)
-        # starts are built 128-aligned (_band_starts); the hint lets Mosaic
-        # prove the DMA's minor-dim tile alignment for the dynamic offset
-        start = pl.multiple_of(starts_ref[0, i], 128)
-        cp = pltpu.make_async_copy(
-            fcols_hbm.at[:, pl.ds(start, window)], fscr, sem1
-        )
-        cp.start()
-        cp.wait()
 
-        best = jnp.full((tile, 1), jnp.float32(C))
-        for w0 in range(0, window, wchunk):
-            xr = fscr[0:1, w0 : w0 + wchunk]
-            yr = fscr[1:2, w0 : w0 + wchunk]
-            zr = fscr[2:3, w0 : w0 + wchunk]
-            sqr = fscr[3:4, w0 : w0 + wchunk]
-            vr = fscr[4:5, w0 : w0 + wchunk]
-            lr = fscr[5:6, w0 : w0 + wchunk]
-            cross = xs[:] * xr + ys[:] * yr + zs[:] * zr  # [T, wchunk]
-            d2 = sqc[:] + sqr - 2.0 * cross
-            adj = (d2 <= tol2) & (vr > 0.0) & (vc[:] > 0.0)
-            cols = (
-                start + w0
-                + lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        # Valid-tile skip: the compacted cloud's trailing tiles are pure
+        # padding (at the fullscale preset ~57% of them: capacity holds
+        # 2.3x the bench window's valid count).  A fully-invalid tile's
+        # rows each reduce to min(best=C, lt) = lt (adj all-false; the
+        # jump column either misses the window or lands on the C sentinel),
+        # so writing lt directly skips both the window DMA and the
+        # distance arithmetic — bitwise identical by construction.
+        @pl.when(any_ref[0, i] > 0)
+        def _compute():
+            # starts are built 128-aligned (_band_starts); the hint lets
+            # Mosaic prove the DMA's minor-dim tile alignment for the
+            # dynamic offset
+            start = pl.multiple_of(starts_ref[0, i], 128)
+            cp = pltpu.make_async_copy(
+                fcols_hbm.at[:, pl.ds(start, window)], fscr, sem1
             )
-            hit = adj | (lt[:] == cols)
-            cand = jnp.where(hit, lr, jnp.float32(C))
-            best = jnp.minimum(best, jnp.min(cand, axis=1, keepdims=True))
-        # float labels < 2^24 are exact; min over floats == min over ints
-        out[:] = jnp.minimum(best.astype(jnp.int32), lt[:])
+            cp.start()
+            cp.wait()
+
+            best = jnp.full((tile, 1), jnp.float32(C))
+            for w0 in range(0, window, wchunk):
+                xr = fscr[0:1, w0 : w0 + wchunk]
+                yr = fscr[1:2, w0 : w0 + wchunk]
+                zr = fscr[2:3, w0 : w0 + wchunk]
+                sqr = fscr[3:4, w0 : w0 + wchunk]
+                vr = fscr[4:5, w0 : w0 + wchunk]
+                lr = fscr[5:6, w0 : w0 + wchunk]
+                cross = xs[:] * xr + ys[:] * yr + zs[:] * zr  # [T, wchunk]
+                d2 = sqc[:] + sqr - 2.0 * cross
+                adj = (d2 <= tol2) & (vr > 0.0) & (vc[:] > 0.0)
+                cols = (
+                    start + w0
+                    + lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                )
+                hit = adj | (lt[:] == cols)
+                cand = jnp.where(hit, lr, jnp.float32(C))
+                best = jnp.minimum(best, jnp.min(cand, axis=1, keepdims=True))
+            # float labels < 2^24 are exact; min over floats == min over ints
+            out[:] = jnp.minimum(best.astype(jnp.int32), lt[:])
+
+        @pl.when(any_ref[0, i] == 0)
+        def _skip():
+            out[:] = lt[:]
 
     col = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vi = valid.astype(jnp.float32)
+    tile_any = jnp.any(valid.reshape(tiles, tile), axis=1).astype(jnp.int32)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((C, 1), jnp.int32),
         grid=(tiles,),
         in_specs=[
+            pl.BlockSpec((1, tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
             col(), col(), col(), col(), col(), col(),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -338,6 +371,7 @@ def _pallas_sweep_jump_banded(
         ],
     )(
         starts.reshape(1, tiles),
+        tile_any.reshape(1, tiles),
         pts[:, 0:1], pts[:, 1:2], pts[:, 2:3], labels[:, None],
         sq[:, None], vi[:, None],
         fcols,
