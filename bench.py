@@ -215,6 +215,7 @@ def main():
                 cc, cfg.statistical_outlier_mean_k,
                 cfg.statistical_outlier_std_dev_thresh, backend=cfg.knn_backend,
                 band=cfg.knn_band, row_tile=cfg.knn_row_tile,
+                skip_dead_tiles=cfg.knn_skip_dead_tiles,
             )
         )(c)
         return jnp.sum(r.cloud.valid)
@@ -225,6 +226,7 @@ def main():
                 cc, cfg.statistical_outlier_mean_k,
                 cfg.statistical_outlier_std_dev_thresh, backend=cfg.knn_backend,
                 band=cfg.knn_band, row_tile=cfg.knn_row_tile,
+                skip_dead_tiles=cfg.knn_skip_dead_tiles,
             )
         )
     )(vox.cloud)

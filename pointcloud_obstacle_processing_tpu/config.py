@@ -131,6 +131,14 @@ class PipelineConfig:
     # scripts/tpu_experiments44.py).  Must be a multiple of 128 for the
     # Pallas network's lane tiling.
     knn_row_tile: int = 512
+    # Skip all-invalid query tiles via a per-tile lax.cond (results are
+    # identical — those tiles' outputs are discarded by the valid mask).
+    # Enable ONLY for configs run as a single unbatched program whose
+    # capacity far exceeds the typical valid count (the fullscale window:
+    # 15.3 -> 11.4 ms/window).  Under vmap the batched cond lowers to a
+    # select that costs ~2x the stage (measured 27.1 vs 13.9 ms/batch on
+    # the batched flagship) — keep False for batched workloads.
+    knn_skip_dead_tiles: bool = False
 
     # ---- RANSAC plane segmentation (cpp:969-970, :364-399) -----------------
     plane_segment_dist_thresh: float = 0.040

@@ -74,6 +74,10 @@ REFERENCE_FULLSCALE_CONFIG = REFERENCE_YAML_CONFIG.replace(
     max_clusters=64,
     knn_backend="banded",
     knn_band=1792,
+    # the window runs as ONE unbatched program with 262144 capacity vs
+    # ~166k valid voxels: skipping the ~37% dead query tiles is free
+    # (see config.knn_skip_dead_tiles for why batched configs keep False)
+    knn_skip_dead_tiles=True,
 )
 
 

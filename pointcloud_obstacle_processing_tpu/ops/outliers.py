@@ -218,7 +218,7 @@ def _kmin_mean(d2: jax.Array, k: int, big: float) -> jax.Array:
 
 def knn_mean_distances(
     cloud: Cloud, k: int, row_tile: int = 512, backend: str = "approx",
-    band: int = 1024,
+    band: int = 1024, skip_dead_tiles: bool = False,
 ) -> jax.Array:
     """Mean distance to the k nearest valid neighbors for every point.
 
@@ -339,6 +339,21 @@ def knn_mean_distances(
     # padded query rows get ids >= n: they never match a column and their
     # outputs are sliced off below
     q_ids = jnp.pad(row_ids, (0, pad), constant_values=n)
+    # Dead-query-tile skip (``skip_dead_tiles``): the post-voxel cloud is
+    # front-compacted, so trailing query tiles hold only parked padding
+    # whose outputs the final `where(valid, ...)` discards — lax.cond
+    # returns zeros for them without the distance/selection work.
+    # Identical results by construction.  OFF by default and only for
+    # unbatched programs: under vmap the batched cond lowers to a select
+    # that measured ~2x the stage cost on the batched flagship (27.1 vs
+    # 13.9 ms/batch, scripts/profile_prefix.py A/B) — but the single
+    # fullscale window (166k valid in a 262144 buffer, ~37% dead tiles)
+    # gains 15.3 -> 11.4 ms (scripts/tpu_experiments47.py).
+    tile_live = (
+        jnp.any(jnp.pad(valid, (0, pad)).reshape(tiles, row_tile), axis=1)
+        if skip_dead_tiles
+        else None
+    )
 
     if backend in ("banded", "banded_approx") and row_tile + 2 * band < n:
         # rank-window candidates: query tile t scores a contiguous column
@@ -408,46 +423,61 @@ def knn_mean_distances(
             return _sortnet_mean([d2[i] for i in range(16)], k, big)
 
         def band_tile_fn(args):
-            qx, qy, qz, qq, qi, start = args
-            colc = [lax.dynamic_slice(pc, (start,), (width,)) for pc in pch]
-            cols_sq = lax.dynamic_slice(p_sq, (start,), (width,))
-            c_ids = lax.dynamic_slice(row_ids, (start,), (width,))
-            c_valid = lax.dynamic_slice(valid, (start,), (width,))
-            if use_sortnet:
-                return _score_tile_planes(
-                    (qx, qy, qz), qq, qi, colc, cols_sq, c_ids, c_valid
-                )
-            q = jnp.stack([qx, qy, qz], axis=-1)
-            cols = jnp.stack(colc, axis=-1)
-            return _score_tile(q, qq, qi, cols, cols_sq, c_ids, c_valid)
+            qx, qy, qz, qq, qi, start = args[:6]
 
-        out = lax.map(
-            band_tile_fn,
-            (
-                q_ch[0].reshape(tiles, row_tile),
-                q_ch[1].reshape(tiles, row_tile),
-                q_ch[2].reshape(tiles, row_tile),
-                q_sq.reshape(tiles, row_tile),
-                q_ids.reshape(tiles, row_tile),
-                starts,
-            ),
+            def compute(_):
+                colc = [lax.dynamic_slice(pc, (start,), (width,)) for pc in pch]
+                cols_sq = lax.dynamic_slice(p_sq, (start,), (width,))
+                c_ids = lax.dynamic_slice(row_ids, (start,), (width,))
+                c_valid = lax.dynamic_slice(valid, (start,), (width,))
+                if use_sortnet:
+                    return _score_tile_planes(
+                        (qx, qy, qz), qq, qi, colc, cols_sq, c_ids, c_valid
+                    )
+                q = jnp.stack([qx, qy, qz], axis=-1)
+                cols = jnp.stack(colc, axis=-1)
+                return _score_tile(q, qq, qi, cols, cols_sq, c_ids, c_valid)
+
+            if tile_live is None:
+                return compute(0)
+            return lax.cond(
+                args[6], compute, lambda _: jnp.zeros((row_tile,), jnp.float32), 0
+            )
+
+        operands = (
+            q_ch[0].reshape(tiles, row_tile),
+            q_ch[1].reshape(tiles, row_tile),
+            q_ch[2].reshape(tiles, row_tile),
+            q_sq.reshape(tiles, row_tile),
+            q_ids.reshape(tiles, row_tile),
+            starts,
         )
+        if tile_live is not None:
+            operands = operands + (tile_live,)
+        out = lax.map(band_tile_fn, operands)
     else:
         p2d = jnp.stack(pch, axis=-1)
         q_p = jnp.stack(q_ch, axis=-1)
 
         def tile_fn(args):
-            q, qq, qi = args
-            return _score_tile(q, qq, qi, p2d, p_sq, row_ids, valid)
+            q, qq, qi = args[:3]
+            if tile_live is None:
+                return _score_tile(q, qq, qi, p2d, p_sq, row_ids, valid)
+            return lax.cond(
+                args[3],
+                lambda _: _score_tile(q, qq, qi, p2d, p_sq, row_ids, valid),
+                lambda _: jnp.zeros((row_tile,), jnp.float32),
+                0,
+            )
 
-        out = lax.map(
-            tile_fn,
-            (
-                q_p.reshape(tiles, row_tile, 3),
-                q_sq.reshape(tiles, row_tile),
-                q_ids.reshape(tiles, row_tile),
-            ),
+        operands = (
+            q_p.reshape(tiles, row_tile, 3),
+            q_sq.reshape(tiles, row_tile),
+            q_ids.reshape(tiles, row_tile),
         )
+        if tile_live is not None:
+            operands = operands + (tile_live,)
+        out = lax.map(tile_fn, operands)
     return jnp.where(valid, out.reshape(n_q)[:n], 0.0)
 
 
@@ -459,10 +489,10 @@ class OutlierResult(NamedTuple):
 
 def remove_statistical_outliers(
     cloud: Cloud, mean_k: int, std_dev_mult: float, row_tile: int = 512,
-    backend: str = "approx", band: int = 1024,
+    backend: str = "approx", band: int = 1024, skip_dead_tiles: bool = False,
 ) -> OutlierResult:
     """Full filter (obstacle_detection.cpp:326-330 semantics)."""
-    d = knn_mean_distances(cloud, mean_k, row_tile, backend, band)
+    d = knn_mean_distances(cloud, mean_k, row_tile, backend, band, skip_dead_tiles)
     valid_f = cloud.valid.astype(jnp.float32)
     n = jnp.maximum(jnp.sum(valid_f), 2.0)
     s1 = jnp.sum(d * valid_f)

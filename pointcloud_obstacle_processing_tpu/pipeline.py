@@ -136,6 +136,7 @@ def _post_voxel(
         backend=backend,
         band=config.knn_band,
         row_tile=config.knn_row_tile,
+        skip_dead_tiles=config.knn_skip_dead_tiles,
     )
 
     # 4. multi-plane RANSAC removal

@@ -77,6 +77,7 @@ def stage_prefix(k):
             vox.cloud, cfg.statistical_outlier_mean_k,
             cfg.statistical_outlier_std_dev_thresh, backend=cfg.knn_backend,
             band=cfg.knn_band, row_tile=cfg.knn_row_tile,
+                skip_dead_tiles=cfg.knn_skip_dead_tiles,
         )
         if k == 3:
             return scalarize(outl.cloud.points) + scalarize(outl.cloud.valid)

@@ -63,6 +63,7 @@ def main():
             vox.cloud, cfg.statistical_outlier_mean_k,
             cfg.statistical_outlier_std_dev_thresh, backend=cfg.knn_backend,
             band=cfg.knn_band, row_tile=cfg.knn_row_tile,
+                skip_dead_tiles=cfg.knn_skip_dead_tiles,
         )
         seg = segment_planes(outl.cloud, k, cfg)
         comp = compact(seg.nonplane_cloud, cfg.cluster_capacity)

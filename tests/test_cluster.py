@@ -190,3 +190,28 @@ def test_onehot_hook_matches_scatter(rng, monkeypatch):
         np.asarray(scat.clusters.point_cluster),
         np.asarray(onehot.clusters.point_cluster),
     )
+
+
+def test_cluster_padding_capacity_invariance(rng):
+    """Cluster labels/sizes must not depend on trailing padding capacity
+    (the sweep kernels skip all-invalid query tiles; their fallthrough
+    writes are provably what the full compute produces).  Full and banded
+    sweeps, 4x padding headroom vs snug."""
+    centers = [(0, 0, 0), (1.5, 0.2, 0), (3.2, 1.0, 0)]
+    pts = _blob_scene(rng, centers, n_per=120)
+    pts = pts[np.argsort(pts[:, 0], kind="stable")]
+
+    for bw in (0, 128):
+        fn = lambda c: euclidean_cluster(
+            c, 0.4, 5, 20000, max_clusters=16, band_window=bw
+        )
+        snug = jax.jit(fn)(Cloud.pad_to(pts, 512))
+        padded = jax.jit(fn)(Cloud.pad_to(pts, 2048))
+        np.testing.assert_array_equal(
+            np.asarray(snug.clusters.sizes), np.asarray(padded.clusters.sizes)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(snug.clusters.point_cluster)[: len(pts)],
+            np.asarray(padded.clusters.point_cluster)[: len(pts)],
+        )
+        assert (np.asarray(padded.clusters.point_cluster)[len(pts):] == -1).all()

@@ -163,3 +163,32 @@ def test_kmin_mean_extraction_oracle():
             vals = np.sort(d2[r][d2[r] < big * 0.5])[:k]
             exp = np.sqrt(vals).mean() if len(vals) else 0.0
             assert abs(got[r] - exp) < 2e-5, (t, w, k, r, got[r], exp)
+
+
+def test_padding_capacity_invariance(rng):
+    """Mean distances must not depend on trailing padding capacity: the
+    dead-query-tile skip (lax.cond over front-compacted tiles) returns
+    zeros for all-invalid tiles, which the valid mask discards — so a
+    cloud padded to 2x the capacity must produce IDENTICAL distances on
+    the valid region (and zeros beyond), for both the banded and exact
+    backends."""
+    pts = rng.uniform(0, 2, size=(600, 3)).astype(np.float32)
+    order = np.argsort(pts[:, 0], kind="stable")  # banded wants lattice-ish order
+    pts = pts[order]
+
+    for backend in ("banded", "exact"):
+        kw = dict(backend=backend, band=128, row_tile=256, skip_dead_tiles=True)
+        small = np.asarray(
+            jax.jit(lambda c: knn_mean_distances(c, 15, **kw))(Cloud.pad_to(pts, 1024))
+        )
+        big_ = np.asarray(
+            jax.jit(lambda c: knn_mean_distances(c, 15, **kw))(Cloud.pad_to(pts, 2048))
+        )
+        np.testing.assert_array_equal(small[:600], big_[:600])
+        assert (big_[600:] == 0).all()
+        # and the skip path agrees exactly with the unconditional program
+        kw["skip_dead_tiles"] = False
+        plain = np.asarray(
+            jax.jit(lambda c: knn_mean_distances(c, 15, **kw))(Cloud.pad_to(pts, 2048))
+        )
+        np.testing.assert_array_equal(big_[:600], plain[:600])
