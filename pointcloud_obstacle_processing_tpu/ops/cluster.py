@@ -272,7 +272,8 @@ def _xla_sweep_jump_banded(
 
 
 def _pallas_sweep_jump_banded(
-    pts, valid, labels, tol2: float, tile: int, window: int, starts
+    pts, valid, labels, tol2: float, tile: int, window: int, starts,
+    tile_live=None,
 ) -> jax.Array:
     """Banded fused sweep as a Pallas kernel: per query tile, one DMA pulls
     the tile's ``window`` columns (x/y/z/|p|²/valid + labels) from HBM at
@@ -307,13 +308,19 @@ def _pallas_sweep_jump_banded(
                fscr, sem1):
         i = pl.program_id(0)
 
-        # Valid-tile skip: the compacted cloud's trailing tiles are pure
-        # padding (at the fullscale preset ~57% of them: capacity holds
-        # 2.3x the bench window's valid count).  A fully-invalid tile's
-        # rows each reduce to min(best=C, lt) = lt (adj all-false; the
-        # jump column either misses the window or lands on the C sentinel),
-        # so writing lt directly skips both the window DMA and the
-        # distance arithmetic — bitwise identical by construction.
+        # Tile skip, two exactly-equivalent cases behind one flag:
+        # (1) padding tiles — the compacted cloud's trailing tiles hold no
+        # valid rows (fullscale preset: ~57% of them), and each such row
+        # reduces to min(best=C, lt) = lt (adj all-false; the jump column
+        # either misses the window or lands on the C sentinel);
+        # (2) converged tiles (``tile_live`` from the caller's frontier
+        # tracking) — a tile's output depends only on its window's labels,
+        # and when none of those changed since the previous sweep, writing
+        # the current labels through is equivalent downstream: the hook's
+        # scatter of lt_i to labels[i] is a no-op (labels[i] <= i and the
+        # scatter's base is labels itself), and min(hook_i, lt_i) ==
+        # min(hook_i, true nbr_min_i) because hook_i <= lt_i <= nbr_min_i.
+        # Either way: skip the window DMA + distance math, out = lt.
         @pl.when(any_ref[0, i] > 0)
         def _compute():
             # starts are built 128-aligned (_band_starts); the hint lets
@@ -354,6 +361,8 @@ def _pallas_sweep_jump_banded(
     col = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vi = valid.astype(jnp.float32)
     tile_any = jnp.any(valid.reshape(tiles, tile), axis=1).astype(jnp.int32)
+    if tile_live is not None:
+        tile_any = tile_any * tile_live.astype(jnp.int32)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((C, 1), jnp.int32),
@@ -383,12 +392,16 @@ def _neighbor_min_sweep(
     pts: jax.Array, valid: jax.Array, labels: jax.Array, tol2, row_tile: int,
     use_pallas: bool | None = None,
     band: tuple | None = None,
+    tile_live=None,
 ) -> jax.Array:
     """One fused ``label[i] <- min over {i} ∪ neighbors(i) ∪ {label[label[i]]}``
     pass.  Pallas VMEM kernel on TPU, identical-arithmetic XLA tiles
     elsewhere (and for capacities the kernel's tiling cannot cover).
     ``band``: optional (tile, window, starts) from ``_band_starts`` — the
-    sweep then scores only each tile's x-envelope window."""
+    sweep then scores only each tile's x-envelope window.  ``tile_live``:
+    optional [tiles] frontier flags (see the banded kernel's skip note);
+    the XLA fallback ignores them — skipping is provably output-identical,
+    so gated TPU and ungated CPU still agree bitwise."""
     n = pts.shape[0]
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -396,7 +409,8 @@ def _neighbor_min_sweep(
         btile, window, starts = band
         if use_pallas:
             return _pallas_sweep_jump_banded(
-                pts, valid, labels, float(tol2), btile, window, starts
+                pts, valid, labels, float(tol2), btile, window, starts,
+                tile_live,
             )
         return _xla_sweep_jump_banded(
             pts, valid, labels, tol2, btile, window, starts
@@ -488,13 +502,33 @@ def euclidean_cluster(
 
     def cond(state):
         labels, changed, it = state
-        return changed & (it < max_iters)
+        return jnp.any(changed) & (it < max_iters)
+
+    # Frontier tracking for the banded sweep: a tile's output depends only
+    # on the labels inside its column window, so once no label in that
+    # window changed between sweeps the tile is converged and the Pallas
+    # kernel skips it (output-identical — see the kernel's skip note).
+    # ``changed`` is carried as a per-point vector; a window's change count
+    # is a prefix-sum difference.  The fullscale window converges in ~24
+    # sweeps but the frontier collapses after the first few: most sweeps
+    # then touch a handful of tiles instead of all 128.
+    track_frontier = band is not None and jax.default_backend() == "tpu"
+
+    def _frontier_live(changed_vec):
+        btile, window, starts = band
+        cs = jnp.cumsum(changed_vec.astype(jnp.int32))
+        hi = cs[starts + (window - 1)]
+        lo = jnp.where(starts > 0, cs[jnp.maximum(starts - 1, 0)], 0)
+        return (hi - lo) > 0
 
     def body(state):
-        labels, _, it = state
+        labels, changed, it = state
         # Fused sweep: neighborhood min AND one pointer jump per pass
         # (label[label[i]] rides the same [T, C] candidate reduction).
-        nbr_min = _neighbor_min_sweep(p, valid, labels, tol2, row_tile, band=band)
+        tile_live = _frontier_live(changed) if track_frontier else None
+        nbr_min = _neighbor_min_sweep(
+            p, valid, labels, tol2, row_tile, band=band, tile_live=tile_live
+        )
 
         # Shiloach-Vishkin style hook: propagate each point's neighborhood
         # minimum to its component ROOT via scatter-min; the next sweep's
@@ -518,9 +552,11 @@ def euclidean_cluster(
         else:
             new = labels.at[labels].min(nbr_min)
         new = jnp.minimum(new, nbr_min)
-        return (new, jnp.any(new != labels), it + 1)
+        return (new, new != labels, it + 1)
 
-    labels, _, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+    labels, _, _ = lax.while_loop(
+        cond, body, (labels0, jnp.ones((n,), bool), jnp.int32(0))
+    )
 
     # ---- component sizes & size gate --------------------------------------
     if n <= ONEHOT_SEGMENT_MAX:
