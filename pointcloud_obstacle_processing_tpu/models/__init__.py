@@ -74,10 +74,18 @@ REFERENCE_FULLSCALE_CONFIG = REFERENCE_YAML_CONFIG.replace(
     max_clusters=64,
     knn_backend="banded",
     knn_band=1792,
+    # total banded work is N*(1 + 2*band/T): T=1024 scores 44% fewer
+    # window columns than 512 and each row's candidate window is a superset
+    # (fidelity monotone non-degrading); measured prefix-3 ~21.0 vs ~21.9
+    # ms/window (T=2048 exceeds VMEM — scripts/tpu_experiments49.py)
+    knn_row_tile=1024,
     # the window runs as ONE unbatched program with 262144 capacity vs
     # ~166k valid voxels: skipping the ~37% dead query tiles is free
     # (see config.knn_skip_dead_tiles for why batched configs keep False)
     knn_skip_dead_tiles=True,
+    # 1-key + 2-payload sort (PARITY deviation 11): quantum leaf/65536 =
+    # 0.23 um at leaf 0.015; ~0.5-1 ms/window (tpu_experiments49.py)
+    voxel_payload_packing=True,
 )
 
 
