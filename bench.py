@@ -57,6 +57,35 @@ def _timed(fn, *args, iters=5):
     return min(ts)
 
 
+def _stage_marginal(fn, cloud, *rest, iters=3):
+    """Chained 4-vs-1 marginal of a scalar-returning stage fn(cloud, *rest):
+    subtracts dispatch RPC exactly (the profilers' protocol) instead of a
+    separately-measured null program, whose jitter can exceed a fast
+    stage's whole cost (the round-3 cluster stage clamped to 0 that way).
+    The float perturbation (+0.0*carry) forces a data dependency XLA
+    cannot fold (CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pointcloud_obstacle_processing_tpu import Cloud
+
+    def chain(m):
+        def run(c, *r):
+            def body(carry, _):
+                cc = Cloud(points=c.points + 0.0 * carry, valid=c.valid)
+                return fn(cc, *r).astype(jnp.float32), None
+
+            out, _ = lax.scan(body, jnp.float32(0), None, length=m)
+            return out
+
+        return jax.jit(run)
+
+    t1 = _timed(chain(1), cloud, *rest, iters=iters)
+    t4 = _timed(chain(4), cloud, *rest, iters=iters)
+    return max((t4 - t1) / 3.0, 1e-7)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -183,6 +212,8 @@ def main():
     # each stage timed batched with a scalar reduction; the shared dispatch
     # RPC (~26 ms/call) is measured separately and subtracted.
     t_null = _timed(jax.jit(lambda s: jnp.sum(s)), jnp.ones((8, 8)), iters=8)
+    # (t_null is reported as the tunnel RPC constant; stage timings below
+    # use chained 4-vs-1 marginals, which subtract it exactly)
     bounds = ((cfg.x_min, cfg.y_min, cfg.z_min), (cfg.x_max, cfg.y_max, cfg.z_max))
 
     def s_crop(c):
@@ -248,12 +279,11 @@ def main():
         return jnp.sum(r.clusters.sizes)
 
     timer = StageTimer()
-    sub = t_null  # dispatch RPC constant, not device time
-    t_crop = max(_timed(jax.jit(s_crop), clouds) - sub, 0.0) / B
-    t_vox = max(_timed(jax.jit(s_vox), seeded.cloud) - sub, 0.0) / B
-    t_out = max(_timed(jax.jit(s_out), vox.cloud) - sub, 0.0) / B
-    t_seg = max(_timed(jax.jit(s_seg), outl.cloud, keys) - sub, 0.0) / B
-    t_clus = max(_timed(jax.jit(s_clus), comp.cloud) - sub, 0.0) / B
+    t_crop = _stage_marginal(s_crop, clouds) / B
+    t_vox = _stage_marginal(s_vox, seeded.cloud) / B
+    t_out = _stage_marginal(s_out, vox.cloud) / B
+    t_seg = _stage_marginal(s_seg, outl.cloud, keys) / B
+    t_clus = _stage_marginal(s_clus, comp.cloud) / B
     timer.record("occupancy grid creation", t_crop)
     timer.record("downsampling", t_vox)
     timer.record("statistical outlier removal", t_out)
