@@ -552,6 +552,23 @@ def euclidean_cluster(
         else:
             new = labels.at[labels].min(nbr_min)
         new = jnp.minimum(new, nbr_min)
+        if band is not None:
+            # Window-unlimited pointer jump.  The banded sweep's fused jump
+            # (hit = lt == cols) only fires when a point's label POSITION
+            # falls inside its tile's column window; for a component wider
+            # than the window (the arena-spanning noise cloud) the root is
+            # out of reach and labels crawl one adjacency hop per sweep —
+            # 24 sweeps at the fullscale shape.  One explicit full-array
+            # jump per sweep restores true Shiloach-Vishkin doubling:
+            # labels[i] always names an in-component point <= i, so
+            # label-of-label does too, and the update is monotone — the
+            # fixpoint is unchanged (bitwise-equal labels measured) while
+            # convergence drops 24 -> 5 sweeps: stage 7.3 -> 1.9 ms/window
+            # (scripts/tpu_experiments54.py).  The [C] gather is serialized
+            # (~20 cycles/row) but buys ~4 sweeps per issue.  The full
+            # (non-banded) sweep needs none of this: its fused jump already
+            # sees every column.
+            new = jnp.minimum(new, new[new])
         return (new, new != labels, it + 1)
 
     labels, _, _ = lax.while_loop(

@@ -37,30 +37,37 @@ def compact(cloud: Cloud, capacity_out: int | None = None) -> CompactResult:
     n = cloud.capacity
     capacity_out = capacity_out or n
     if n % 128 == 0:
-        # Slot-centric compaction: the ascending source index of each output
-        # slot via the block-structured stream compaction (comparison-sum +
-        # one-hot matmul; see mxu_histogram.compact_occupied_blocks), then
-        # one [capacity_out]-row point gather.  Replaces the N-wide scatter
-        # (serialized ~20 cycles/update on TPU: ~3 ms at N=131k).
-        from .mxu_histogram import compact_occupied_blocks
+        # Fused compaction + exact value gather: the same sequential-
+        # overwrite DMA kernel that compacts the voxel table
+        # (ops/pallas_compaction.py) — per-slot source index AND the three
+        # point channels in one pass.  On TPU this replaces the serialized
+        # per-row channel gathers (~20 cycles/row: ~1.9 ms of the fullscale
+        # window's compact+cluster stage was this op); the XLA/CPU path
+        # inside compact_and_gather_exact is the previous
+        # compact_occupied_blocks + channel-wise 1-D gather formulation,
+        # and the kernel's one-live-lane select-sums are EXACT gathers, so
+        # outputs are bit-identical across backends (tests/test_compaction).
+        from .pallas_compaction import compact_and_gather_exact
 
-        loc, count = compact_occupied_blocks(
-            cloud.valid.reshape(n // 128, 128), capacity_out
+        bins = jnp.stack(
+            [
+                cloud.points[:, 0],
+                cloud.points[:, 1],
+                cloud.points[:, 2],
+                cloud.valid.astype(jnp.float32),  # count channel (occupancy)
+            ],
+            axis=0,
+        )
+        loc, count, vals = compact_and_gather_exact(
+            bins, cloud.valid.reshape(n // 128, 128), capacity_out
         )
         out_valid = (
             lax.broadcasted_iota(jnp.int32, (capacity_out, 1), 0)[:, 0]
             < jnp.minimum(count, capacity_out)
         )
-        safe = jnp.where(out_valid, loc, 0)
-        # CHANNEL-WISE 1-D gathers + one final stack: a 2-D ``points[safe]``
-        # gather forces XLA to materialize/relayout the [N, 3] channel-minor
-        # stack upstream (the voxel tail emits points as three fused [N]
-        # channel vectors; the 2-D gather broke that fusion for ~5 ms/batch
-        # in the pipeline context — scripts/tpu_experiments41/42.py).  The
-        # per-slot values are identical either way.
-        cols = [
-            jnp.where(out_valid, cloud.points[:, c][safe], 0.0) for c in range(3)
-        ]
+        # channel-wise mask + one final stack (keeps the voxel tail's three
+        # fused [N] channel vectors fusable — scripts/tpu_experiments41/42)
+        cols = [jnp.where(out_valid, vals[:, c], 0.0) for c in range(3)]
         source_index = jnp.where(out_valid, loc, 0)
         return CompactResult(
             cloud=Cloud(

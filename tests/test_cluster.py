@@ -215,3 +215,35 @@ def test_cluster_padding_capacity_invariance(rng):
             np.asarray(padded.clusters.point_cluster)[: len(pts)],
         )
         assert (np.asarray(padded.clusters.point_cluster)[len(pts):] == -1).all()
+
+
+def test_banded_jump_wide_component(rng):
+    """A component WIDER than the band window must still converge to the
+    full sweep's labels: the explicit per-sweep pointer jump (window-
+    unlimited) covers roots outside a tile's column window — without it,
+    the fullscale window needed 24 sweeps; components spanning > window
+    ranks would converge only via one-hop crawling (tpu_experiments54)."""
+    # one long x-chain (steps < tol) spanning many 128-blocks + a far blob
+    n_chain = 560
+    xs = np.cumsum(rng.uniform(0.05, 0.12, n_chain)).astype(np.float32)
+    chain = np.stack([xs, np.zeros(n_chain), np.zeros(n_chain)], 1)
+    blob = rng.normal(0, 0.1, (80, 3)).astype(np.float32) + np.array(
+        [xs.max() + 5.0, 0, 0], np.float32
+    )
+    pts = np.concatenate([chain, blob.astype(np.float32)])
+    pts = pts[np.argsort(pts[:, 0], kind="stable")]
+    cloud = Cloud.pad_to(pts, 640)
+
+    full = jax.jit(
+        lambda c: euclidean_cluster(c, 0.4, 5, 20000, max_clusters=8)
+    )(cloud)
+    band = jax.jit(
+        lambda c: euclidean_cluster(
+            c, 0.4, 5, 20000, max_clusters=8, band_window=384
+        )
+    )(cloud)
+    assert not bool(band.band_overflow)
+    np.testing.assert_array_equal(np.asarray(full.labels), np.asarray(band.labels))
+    np.testing.assert_array_equal(
+        np.asarray(full.clusters.sizes), np.asarray(band.clusters.sizes)
+    )
