@@ -54,6 +54,17 @@ __all__ = ["sorted_run_reduce"]
 # g8/f512, composed voxel stage 23.8 -> 21.1 ms/batch).
 KERNEL8_ENABLED = True
 
+# The 2-windows-per-step kernel (_kernel2w) serves UNBATCHED rows (the
+# fullscale window): the 1-row kernel's [4, W] channel stack uses half the
+# VPU sublanes and walks N/W sequential grid steps; pairing windows
+# (2i, 2i+1) per step fills all 8 sublanes and halves the step count.
+# Per-window arithmetic (scan steps, single carry adds) is IDENTICAL —
+# window b's carry-in is window a's adjusted last row, the same value the
+# sequential chain produces — so outputs stay bitwise equal to the 1-row
+# kernel and the XLA fallback (tests/test_runreduce.py; hardware A/B in
+# scripts/tpu_experiments56.py).
+KERNEL2W_ENABLED = True
+
 try:  # pallas import kept lazy-safe for backends without Mosaic
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -438,6 +449,190 @@ def _kernel8(
             cp.wait()
 
 
+def _kernel2w(
+    meta_ref, excl_ref, key_ref, a_ref, b_ref, *rest, group: int,
+    capacity: int, sentinel: int, flush: int, quantum: float | None = None,
+):
+    """Two-windows-per-step variant of ``_kernel``: grid (B, steps/2).
+
+    Step i processes windows 2i and 2i+1 of one row.  The channel stack is
+    [8, W] (rows 0..3 = window a's x/y/z/count, 4..7 = window b's) — full
+    sublane utilization — and the segmented scans of both windows run as
+    ONE vector op per shift step.  Window b's carry-in is window a's
+    ADJUSTED last row (scan + one carry add — exactly the value the
+    sequential 1-row chain passes forward), routed through the SMEM carry
+    row, so every per-element expression matches the 1-row kernel and the
+    XLA fallback: outputs are bitwise equal.
+
+    DMA ordering (the overlapping-window overwrite contract requires
+    window copies to land in ascending order): window a compacts to
+    scratch[0:W] and its copy starts while window b's compaction computes;
+    a's copy (and its conditional remainder) is WAITED before b's copy
+    starts; b's copy to scratch[W:2W] stays in flight across the step
+    boundary and is waited at the next step's start (or drained at the
+    last step).  One W-sized scratch region per window — same total
+    scratch as the 1-row kernel's double buffer.
+    """
+    if quantum is None:
+        oz_ref, out_ref, scratch, tmp, carry, sem, sem2 = rest
+    else:
+        out_ref, scratch, tmp, carry, sem, sem2 = rest
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    gstep = bi * pl.num_programs(1) + i
+    last = pl.num_programs(0) * pl.num_programs(1) - 1
+    w_full = group * 128
+
+    key2 = key_ref[0, 0]  # [1, 2W] int32
+    key = jnp.concatenate([key2[:, :w_full], key2[:, w_full:]], axis=0)  # [2, W]
+    valid = key < sentinel
+    prevcol = jnp.concatenate(
+        [
+            jnp.full((1, 1), meta_ref[0, 1, 2 * i], jnp.int32),
+            jnp.full((1, 1), meta_ref[0, 1, 2 * i + 1], jnp.int32),
+        ],
+        axis=0,
+    )  # [2, 1]
+    nextcol = jnp.concatenate(
+        [
+            jnp.full((1, 1), meta_ref[0, 0, 2 * i + 1], jnp.int32),
+            jnp.full((1, 1), meta_ref[0, 0, 2 * i + 2], jnp.int32),
+        ],
+        axis=0,
+    )
+    key_prev = jnp.concatenate([prevcol, key[:, :-1]], axis=1)
+    key_next = jnp.concatenate([key[:, 1:], nextcol], axis=1)
+    heads = (valid & (key != key_prev)).astype(jnp.int32)  # [2, W]
+    is_end = valid & (key != key_next)
+
+    @pl.when(i == 0)
+    def _reset_carry():
+        for ci in range(4):
+            carry[0, ci] = 0.0
+
+    if quantum is None:
+        ox2, oy2, oz2 = a_ref[0, 0], b_ref[0, 0], oz_ref[0, 0]  # [1, 2W]
+    else:
+        ox2, oy2, oz2 = _unpack_offsets(a_ref[0, 0], b_ref[0, 0], quantum)
+    cnt2 = jnp.where(valid, 1.0, 0.0)  # [2, W]
+    # rows 0..3 window a channels, 4..7 window b channels
+    ch = jnp.concatenate(
+        [
+            ox2[:, :w_full], oy2[:, :w_full], oz2[:, :w_full], cnt2[0:1],
+            ox2[:, w_full:], oy2[:, w_full:], oz2[:, w_full:], cnt2[1:2],
+        ],
+        axis=0,
+    )  # [8, W]
+    f_all = jnp.concatenate([heads[0:1]] * 4 + [heads[1:2]] * 4, axis=0)
+    v = _scan_channels(ch, f_all, w_full)
+
+    no_head_yet = _cum_or(heads) == 0  # [2, W]
+    last_mask = lax.broadcasted_iota(jnp.int32, (1, w_full), 1) == w_full - 1
+    # window a: join the SMEM carry (same single add as the 1-row kernel)
+    carr_a = jnp.concatenate(
+        [jnp.full((1, 1), carry[0, ci], jnp.float32) for ci in range(4)], axis=0
+    )  # [4, 1]
+    v_a = v[0:4] + jnp.where(no_head_yet[0:1], carr_a, 0.0)
+    # window b's carry-in = window a's adjusted last row (the exact value
+    # the sequential chain forwards); routed through SMEM so the splat is
+    # a scalar broadcast, like every other carry read
+    for ci in range(4):
+        carry[0, ci] = jnp.sum(jnp.where(last_mask, v_a[ci : ci + 1], 0.0))
+    carr_b = jnp.concatenate(
+        [jnp.full((1, 1), carry[0, ci], jnp.float32) for ci in range(4)], axis=0
+    )
+    v_b = v[4:8] + jnp.where(no_head_yet[1:2], carr_b, 0.0)
+    for ci in range(4):
+        carry[0, ci] = jnp.sum(jnp.where(last_mask, v_b[ci : ci + 1], 0.0))
+
+    key_f = key.astype(jnp.float32)  # [2, W]
+    # tmp rows 0..5 = window a (key, x, y, z, cnt_end, is_end), 8..13 = b
+    for j, vv in ((0, v_a), (1, v_b)):
+        tmp[8 * j : 8 * j + 1, :] = key_f[j : j + 1]
+        tmp[8 * j + 1 : 8 * j + 4, :] = vv[0:3]
+        tmp[8 * j + 4 : 8 * j + 5, :] = jnp.where(
+            is_end[j : j + 1], vv[3:4], 0.0
+        )
+        tmp[8 * j + 5 : 8 * j + 6, :] = jnp.where(is_end[j : j + 1], 1.0, 0.0)
+
+    lane_tri = (
+        lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        <= lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(jnp.bfloat16)
+    r_iota = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ws = min(flush, w_full)
+
+    # wait the PREVIOUS step's window-b copy before touching its scratch
+    # region or writing any output rows this step
+    @pl.when(gstep > 0)
+    def _wait_prev():
+        pltpu.make_async_copy(
+            scratch.at[pl.ds(w_full, ws), :],
+            out_ref.at[bi, pl.ds(0, ws), :],
+            sem,
+        ).wait()
+
+    def _compact_window(j):
+        wi = 2 * i + j
+        step_start = excl_ref[0, 0, wi * group]
+        for g in range(group):
+            sl = slice(g * 128, (g + 1) * 128)
+            occ = tmp[8 * j + 5 : 8 * j + 6, sl] > 0.0
+            ranks = (
+                lax.dot_general(
+                    occ.astype(jnp.bfloat16), lane_tri,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                - 1
+            )
+            sel = (ranks == r_iota) & occ
+            cols = [
+                jnp.sum(
+                    jnp.where(sel, tmp[8 * j + ci : 8 * j + ci + 1, sl], 0.0),
+                    axis=1, keepdims=True,
+                )
+                for ci in range(5)
+            ]
+            block_out = jnp.concatenate(cols, axis=1)  # [128, 5]
+            lstart = excl_ref[0, 0, wi * group + g] - step_start
+            scratch[pl.ds(j * w_full + lstart, 128), 0:5] = block_out
+        written = excl_ref[0, 0, (wi + 1) * group] - step_start
+        start1 = jnp.minimum(step_start, capacity)
+        cp = pltpu.make_async_copy(
+            scratch.at[pl.ds(j * w_full, ws), :],
+            out_ref.at[bi, pl.ds(start1, ws), :],
+            sem,
+        )
+        return cp, written, step_start
+
+    def _flush_rest(j, written, step_start):
+        if ws < w_full:
+
+            @pl.when(written > ws - 128)
+            def _go():
+                start2 = jnp.minimum(step_start + ws, capacity + ws)
+                cp2 = pltpu.make_async_copy(
+                    scratch.at[pl.ds(j * w_full + ws, w_full - ws), :],
+                    out_ref.at[bi, pl.ds(start2, w_full - ws), :],
+                    sem2,
+                )
+                cp2.start()
+                cp2.wait()
+
+    cp_a, written_a, sstart_a = _compact_window(0)
+    cp_a.start()  # a's copy flies while window b compacts
+    cp_b, written_b, sstart_b = _compact_window(1)
+    cp_a.wait()  # a (and its remainder) must land before b starts
+    _flush_rest(0, written_a, sstart_a)
+    cp_b.start()
+    _flush_rest(1, written_b, sstart_b)
+
+    @pl.when(gstep == last)
+    def _drain():
+        cp_b.wait()
+
+
 def _cum_or(flags):
     """Inclusive cumulative OR along the last axis via the same shift
     schedule as the scan (boolean — no rounding, any order identical)."""
@@ -571,6 +766,75 @@ def _pallas_batched(
         scratch_shapes=[
             pltpu.VMEM((2 * w, 128), jnp.float32),
             pltpu.VMEM((8, w), jnp.float32),
+            pltpu.SMEM((1, 4), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        meta, excl, skey[:, None, None, :],
+        *[b[:, None, None, :] for b in bufs],
+    )
+    return out[:, :capacity, :5], num
+
+
+def _pallas_batched2w(
+    skey, bufs, sentinel, capacity, group, flush, interpret, quantum=None,
+):
+    """Two-windows-per-step launcher: grid (B, steps/2) with (1, 2W) key /
+    payload blocks.  Same meta/excl tables as ``_pallas_batched`` —
+    ``_kernel2w`` indexes them at 2i/2i+1."""
+    bsz, n = skey.shape
+    w = group * 128
+    steps = n // w
+    a = n // 128
+
+    is_end = jax.vmap(lambda k: _flags(k, sentinel)[2])(skey)
+    per_block = jnp.sum(is_end.reshape(bsz, a, 128).astype(jnp.int32), axis=2)
+    offsets = jnp.cumsum(per_block, axis=1)
+    num = offsets[:, -1]
+    excl = offsets - per_block
+    excl = jnp.concatenate(
+        [excl, jnp.broadcast_to(num[:, None], (bsz, group))], axis=1
+    ).reshape(bsz, 1, a + group)
+
+    firsts = jnp.concatenate(
+        [skey[:, ::w], jnp.full((bsz, 1), -2, jnp.int32)], axis=1
+    )
+    prevs = jnp.concatenate(
+        [jnp.full((bsz, 1), -1, jnp.int32), skey[:, w - 1 :: w][:, : steps - 1]],
+        axis=1,
+    )
+    meta = jnp.stack([firsts, jnp.pad(prevs, ((0, 0), (0, 1)))], axis=1)
+
+    s_pad = capacity + w
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel2w, group=group, capacity=capacity, sentinel=sentinel,
+            flush=flush, quantum=quantum,
+        ),
+        grid=(bsz, steps // 2),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2, steps + 1), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, a + group), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ] + [
+            pl.BlockSpec(
+                (1, 1, 1, 2 * w), lambda bi, i: (bi, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(1 + len(bufs))
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, s_pad, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * w, 128), jnp.float32),
+            pltpu.VMEM((16, w), jnp.float32),
             pltpu.SMEM((1, 4), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -720,12 +984,23 @@ def sorted_run_reduce(
     if not use_pallas:
         return _xla_fallback(skey, bufs, sentinel, capacity, group, quantum)
 
+    steps = n // (group * 128)
+
     @jax.custom_batching.custom_vmap
     def run(k, *bs):
-        vals, num = _pallas_batched(
-            k[None], tuple(b[None] for b in bs), sentinel, capacity, group,
-            flush, interpret, quantum,
-        )
+        # Unbatched rows (the fullscale window) take the 2-windows-per-step
+        # kernel when the step count pairs up: full sublane use, half the
+        # sequential steps, bitwise-equal outputs (see _kernel2w).
+        if KERNEL2W_ENABLED and steps % 2 == 0 and steps >= 2:
+            vals, num = _pallas_batched2w(
+                k[None], tuple(b[None] for b in bs), sentinel, capacity,
+                group, flush, interpret, quantum,
+            )
+        else:
+            vals, num = _pallas_batched(
+                k[None], tuple(b[None] for b in bs), sentinel, capacity,
+                group, flush, interpret, quantum,
+            )
         return vals[0], num[0]
 
     @run.def_vmap

@@ -189,6 +189,42 @@ def test_packed_payloads_match_fallback_and_truth(kernel8, monkeypatch):
         np.testing.assert_allclose(got[:, 1:4], gt[:kk, 1:4], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("packed", [False, True])
+def test_two_window_kernel_bitwise_vs_one_window(packed, monkeypatch):
+    """The 2-windows-per-step kernel (unbatched fullscale path) must be
+    bitwise equal to the 1-row kernel AND the fallback: identical window
+    scans; window b's carry-in is window a's adjusted last row — the same
+    value the sequential chain forwards."""
+    from pointcloud_obstacle_processing_tpu.ops import pallas_runreduce as prr
+
+    rng = np.random.default_rng(55 + packed)
+    n, n_runs, cap, sentinel, group = 4096, 700, 1024, 800, 4  # steps = 8
+    if packed:
+        skey, pxy, pz, _, quantum = _packed_case(rng, n, n_runs, 3900, sentinel)
+        offs, q = (pxy, pz), quantum
+    else:
+        skey, offs = _case(rng, n, n_runs, 3900, sentinel)
+        q = None
+
+    monkeypatch.setattr(prr, "KERNEL2W_ENABLED", False)
+    vals_1w, num_1w = sorted_run_reduce(
+        skey, offs, sentinel, cap, group=group, quantum=q,
+        use_pallas=True, interpret=True,
+    )
+    monkeypatch.setattr(prr, "KERNEL2W_ENABLED", True)
+    vals_2w, num_2w = sorted_run_reduce(
+        skey, offs, sentinel, cap, group=group, quantum=q,
+        use_pallas=True, interpret=True,
+    )
+    vals_f, num_f = sorted_run_reduce(
+        skey, offs, sentinel, cap, group=group, quantum=q, use_pallas=False
+    )
+    assert int(num_2w) == int(num_1w) == int(num_f)
+    k = min(int(num_f), cap)
+    assert np.array_equal(np.asarray(vals_2w)[:k], np.asarray(vals_1w)[:k])
+    assert np.array_equal(np.asarray(vals_2w)[:k], np.asarray(vals_f)[:k])
+
+
 def test_capacity_overflow_keeps_prefix():
     """More runs than capacity: the first ``capacity`` runs in ascending
     key order survive and num reports the true total (the voxel stage's
