@@ -189,16 +189,24 @@ def test_packed_payloads_match_fallback_and_truth(kernel8, monkeypatch):
         np.testing.assert_allclose(got[:, 1:4], gt[:kk, 1:4], rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("packed", [False, True])
-def test_two_window_kernel_bitwise_vs_one_window(packed, monkeypatch):
+@pytest.mark.parametrize(
+    "packed,group,flush",
+    [
+        (False, 4, 512),   # flush == window: no remainder tier
+        (True, 4, 512),
+        (False, 8, 256),   # flush < window: 2w remainder tier fires
+        (True, 8, 256),
+    ],
+)
+def test_two_window_kernel_bitwise_vs_one_window(packed, group, flush, monkeypatch):
     """The 2-windows-per-step kernel (unbatched fullscale path) must be
     bitwise equal to the 1-row kernel AND the fallback: identical window
     scans; window b's carry-in is window a's adjusted last row — the same
     value the sequential chain forwards."""
     from pointcloud_obstacle_processing_tpu.ops import pallas_runreduce as prr
 
-    rng = np.random.default_rng(55 + packed)
-    n, n_runs, cap, sentinel, group = 4096, 700, 1024, 800, 4  # steps = 8
+    rng = np.random.default_rng(55 + packed + group)
+    n, n_runs, cap, sentinel = 4096, 700, 1024, 800
     if packed:
         skey, pxy, pz, _, quantum = _packed_case(rng, n, n_runs, 3900, sentinel)
         offs, q = (pxy, pz), quantum
@@ -208,12 +216,12 @@ def test_two_window_kernel_bitwise_vs_one_window(packed, monkeypatch):
 
     monkeypatch.setattr(prr, "KERNEL2W_ENABLED", False)
     vals_1w, num_1w = sorted_run_reduce(
-        skey, offs, sentinel, cap, group=group, quantum=q,
+        skey, offs, sentinel, cap, group=group, flush=flush, quantum=q,
         use_pallas=True, interpret=True,
     )
     monkeypatch.setattr(prr, "KERNEL2W_ENABLED", True)
     vals_2w, num_2w = sorted_run_reduce(
-        skey, offs, sentinel, cap, group=group, quantum=q,
+        skey, offs, sentinel, cap, group=group, flush=flush, quantum=q,
         use_pallas=True, interpret=True,
     )
     vals_f, num_f = sorted_run_reduce(
@@ -223,6 +231,48 @@ def test_two_window_kernel_bitwise_vs_one_window(packed, monkeypatch):
     k = min(int(num_f), cap)
     assert np.array_equal(np.asarray(vals_2w)[:k], np.asarray(vals_1w)[:k])
     assert np.array_equal(np.asarray(vals_2w)[:k], np.asarray(vals_f)[:k])
+
+
+def test_two_window_capacity_overflow_keeps_prefix():
+    """Overflow through the 2w path: ascending-prefix survival and a true
+    num, same contract as the 1-row kernel."""
+    rng = np.random.default_rng(9)
+    sentinel = 2000
+    skey, offs = _case(rng, 2048, 1900, 2048, sentinel)  # group 8 -> steps 2
+    cap = 128
+    vals_p, num_p = sorted_run_reduce(
+        skey, offs, sentinel, cap, group=8, use_pallas=True, interpret=True
+    )
+    vals_f, num_f = sorted_run_reduce(
+        skey, offs, sentinel, cap, group=8, use_pallas=False
+    )
+    gt, n_runs_true = _ground_truth(skey, offs, sentinel, cap)
+    assert int(num_p) == int(num_f) == n_runs_true > cap
+    assert np.array_equal(np.asarray(vals_p)[:cap], np.asarray(vals_f)[:cap])
+    assert np.array_equal(np.asarray(vals_f)[:cap, 0], gt[:cap, 0])
+
+
+def test_two_window_kernel_skipped_for_odd_steps(monkeypatch):
+    """An odd step count cannot pair windows: dispatch must stay on the
+    1-row kernel (proved by making the 2w launcher explode)."""
+    from pointcloud_obstacle_processing_tpu.ops import pallas_runreduce as prr
+
+    def _boom(*a, **k):
+        raise AssertionError("2w launcher must not be called for odd steps")
+
+    monkeypatch.setattr(prr, "_pallas_batched2w", _boom)
+    rng = np.random.default_rng(12)
+    sentinel = 100
+    skey, offs = _case(rng, 3 * 1024, 80, 2500, sentinel)  # group 8 -> steps 3
+    vals_p, num_p = sorted_run_reduce(
+        skey, offs, sentinel, 128, group=8, use_pallas=True, interpret=True
+    )
+    vals_f, num_f = sorted_run_reduce(
+        skey, offs, sentinel, 128, group=8, use_pallas=False
+    )
+    assert int(num_p) == int(num_f)
+    k = min(int(num_f), 128)
+    assert np.array_equal(np.asarray(vals_p)[:k], np.asarray(vals_f)[:k])
 
 
 def test_capacity_overflow_keeps_prefix():
