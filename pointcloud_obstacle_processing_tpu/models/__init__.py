@@ -73,7 +73,15 @@ REFERENCE_FULLSCALE_CONFIG = REFERENCE_YAML_CONFIG.replace(
     cluster_band_window=4096,
     max_clusters=64,
     knn_backend="banded",
-    knn_band=1792,
+    # Band knee MEASURED at this shape (scripts/tpu_experiments57.py,
+    # vs a +-3328-rank superset reference): there is no sharp knee at
+    # fullscale density — 1792 (the old analytic scaling of the flagship
+    # 512) already perturbs 0.61% of kNN means / flips 44 of 165898 keep
+    # decisions, 1280 perturbs 1.10% / flips 71 (0.043%) — while the
+    # prefix-3 stage drops ~2.5 ms/window (20.2 -> 17.7).  Keep-decision
+    # impact stays in the 0.03-0.04% class across 1280..1792, invisible
+    # to the mu + m*sigma gate; 1280 takes the time.
+    knn_band=1280,
     # total banded work is N*(1 + 2*band/T): T=1024 scores 44% fewer
     # window columns than 512 and each row's candidate window is a superset
     # (fidelity monotone non-degrading); measured prefix-3 ~21.0 vs ~21.9

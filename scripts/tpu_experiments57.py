@@ -103,11 +103,12 @@ def main():
     # ---- 1. fidelity: banded means vs widest-band reference ---------------
     k = cfg.statistical_outlier_mean_k
     mult = cfg.statistical_outlier_std_dev_thresh
-    # Reference = T=512 + band=3328: every row's window covers at least
+    # Reference = T=448 + band=3328: every row's window covers at least
     # +-3328 ranks, a strict superset of any candidate's maximum coverage
-    # (band + T - 1 <= 2815 at T=1024), while the sortnet VMEM block
-    # [16, 448, 512] stays under the 16M scoped limit (bands >= 2560 at
-    # T=1024 blow it).
+    # (band + T - 1 <= 2815 at T=1024).  T=448 is deliberately NOT a
+    # 128-multiple: that routes the selection onto the XLA sortnet (no
+    # VMEM scoped limit — the Pallas kernel OOMs for any band >= 2560),
+    # and the XLA net is bitwise-identical to the Pallas one anyway.
     bands = (1024, 1280, 1536, 1792)
 
     def means_at(band, row_tile=cfg.knn_row_tile):
@@ -128,7 +129,7 @@ def main():
 
     valid_np = np.asarray(vc.valid)
     ref_band = 3328
-    d_ref = means_at(ref_band, row_tile=512)
+    d_ref = means_at(ref_band, row_tile=448)
     keep_ref = keep_at(d_ref.astype(np.float64), valid_np.astype(np.float64))
     for band in bands:
         d = means_at(band)
