@@ -173,3 +173,32 @@ def test_merge_partials_sort_free_matches_sort(rng):
     np.testing.assert_allclose(
         np.asarray(dense.sums), np.asarray(sorted_.sums), rtol=1e-6, atol=1e-6
     )
+
+
+def test_voxel_output_is_ascending_lattice_order(rng):
+    """The banded kNN engine and the cluster stage's monotone-x envelope
+    windows REQUIRE the voxel cloud in ascending packed (ix, iy, iz) key
+    order (ops/outliers.py knn_backend='banded'; ops/cluster.py
+    cluster_band_window) — pin the emission order on every engine and
+    payload layout, not just the voxel SET."""
+    pts = rng.uniform([0, 0, -0.5], [4.5, 3.78, 0.25], size=(4000, 3)).astype(
+        np.float32
+    )
+    cloud = Cloud.pad_to(pts, 4096)
+    bounds = ((0.0, 0.0, -0.5), (4.5, 3.78, 0.25))
+    leaf = 0.06
+    variants = {
+        "sort": dict(bounds=bounds, binning="sort"),
+        "sort_packed": dict(bounds=bounds, binning="sort", payload_packing=True),
+        "mxu": dict(bounds=bounds, binning="mxu"),
+        "scatter": dict(bounds=bounds, binning="scatter"),
+        "unbounded_3key": dict(),
+    }
+    for name, kw in variants.items():
+        res = jax.jit(
+            lambda c, kw=kw: voxel_downsample(c, leaf, 4096, **kw)
+        )(cloud)
+        got = np.asarray(res.cloud.points)[np.asarray(res.cloud.valid)]
+        k = np.floor(got / np.float32(leaf)).astype(np.int64)
+        packed = (k[:, 0] * (1 << 20)) + (k[:, 1] * (1 << 10)) + k[:, 2]
+        assert (np.diff(packed) > 0).all(), f"{name}: not ascending lattice order"
