@@ -319,9 +319,19 @@ def _sort_segment_partials(
             skey, (sox, soy, soz), sentinel, capacity
         )
 
+    # ONE pass over the kernel's lane-padded [capacity, 128]-backed output:
+    # the decode below consumes five channel vectors, and five separate
+    # slot_vals[:, ch] extractions each re-read the wide buffer (~0.85
+    # ms/window at the fullscale shape — scripts/tpu_experiments60.py
+    # measured the decode tail at 1.15 ms with the narrow-slice read only
+    # 0.1).  A transposed materialization reads once and hands the decode
+    # a channel-leading [5, capacity] table; pure relayout, so values are
+    # bitwise unchanged on every backend.
+    sv = lax.optimization_barrier(slot_vals.T)
+
     target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
     out_valid = target < jnp.minimum(num, capacity)
-    slot_key = jnp.clip(slot_vals[:, 0].astype(jnp.int32), 0, sentinel - 1)
+    slot_key = jnp.clip(sv[0].astype(jnp.int32), 0, sentinel - 1)
     if order == "morton":
         dx, dy, dz = _morton_decode(slot_key, sched)
         lx, ly, lz = dx + imin[0], dy + imin[1], dz + imin[2]
@@ -337,7 +347,7 @@ def _sort_segment_partials(
     # vector and stacking ONCE at the end is 15.9 -> 12.6 ms/batch.  The
     # per-element expression (operand order, masks) is unchanged, so
     # values stay bitwise identical on every backend.
-    slot_counts = slot_vals[:, 4]
+    slot_counts = sv[4]
     lf = jnp.float32(leaf_size)
     key_cols = []
     sum_cols = []
@@ -346,7 +356,7 @@ def _sort_segment_partials(
         sum_cols.append(
             jnp.where(
                 out_valid,
-                slot_vals[:, ch] + l.astype(jnp.float32) * lf * slot_counts,
+                sv[ch] + l.astype(jnp.float32) * lf * slot_counts,
                 0.0,
             )
         )
