@@ -133,7 +133,16 @@ def _sortnet_mean_from_sorted(vals: jax.Array, k: int, big: float) -> jax.Array:
     return s / jnp.maximum(cnt, 1.0)
 
 
-def _sortnet_mean_pallas(d2p: jax.Array, k: int, big: float) -> jax.Array:
+# Test hook: force the Pallas sortnet path in interpret mode on the CPU
+# backend (tests/test_outliers.py monkeypatches this to cover the kernel
+# end-to-end without TPU hardware).
+_FORCE_PALLAS_INTERPRET = False
+
+
+def _sortnet_mean_pallas(
+    d2p: jax.Array, k: int, big: float, q_valid: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
     """Pallas twin of ``_sortnet_mean``: the identical comparator program
     run in VMEM, planes laid out [16, nc, T] with the QUERY axis as lanes.
 
@@ -145,27 +154,71 @@ def _sortnet_mean_pallas(d2p: jax.Array, k: int, big: float) -> jax.Array:
     for the full banded stage at [24576 rows, W=1280] (2.8x): the ~420
     tiny plane ops become one resident kernel instead of XLA's
     materialize-per-op chain.
+
+    ``q_valid`` ([T] bool, optional) enables the dead-chunk skip: a lane
+    chunk whose queries are ALL invalid (the post-voxel cloud is
+    front-compacted, so the capacity tail is pure padding — ~12% of the
+    flagship's 24576 rows at ~21.5k live voxels) writes the ``big``
+    sentinel planes behind ``pl.when`` instead of running the ~420
+    comparators.  Downstream, big-sentinel sorted values produce a 0 mean
+    — exactly what ``knn_mean_distances``'s final ``where(valid, ., 0)``
+    forces for those rows on every path — so outputs are provably
+    identical with the skip on or off.  An SMEM flag row + ``pl.when``
+    has NO vmap hazard (unlike ``lax.cond``, which lowers to a
+    both-branches select under vmap: the batched flagship measured 2x the
+    stage that way — vmap just batches the flag row here; the cluster
+    sweep kernels use the same idiom).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     _, nc, t = d2p.shape
     tc = 256 if t % 256 == 0 else 128
+    steps = t // tc
 
-    def kernel(x_ref, o_ref):
-        P = _sortnet_comparators([x_ref[i] for i in range(16)], big, 0)
-        for i in range(16):
-            o_ref[i, :] = P[i][0]
+    if q_valid is None:
+        def kernel(x_ref, o_ref):
+            P = _sortnet_comparators([x_ref[i] for i in range(16)], big, 0)
+            for i in range(16):
+                o_ref[i, :] = P[i][0]
+
+        vals = pl.pallas_call(
+            kernel,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((16, nc, tc), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((16, tc), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((16, t), jnp.float32),
+            interpret=interpret,
+        )(d2p)
+        return _sortnet_mean_from_sorted(vals, k, big)
+
+    live = jnp.any(q_valid.reshape(steps, tc), axis=1).astype(jnp.int32)
+
+    def kernel(live_ref, x_ref, o_ref):
+        @pl.when(live_ref[0, pl.program_id(0)] > 0)
+        def _compute():
+            P = _sortnet_comparators([x_ref[i] for i in range(16)], big, 0)
+            for i in range(16):
+                o_ref[i, :] = P[i][0]
+
+        @pl.when(live_ref[0, pl.program_id(0)] == 0)
+        def _skip():
+            for i in range(16):
+                o_ref[i, :] = jnp.full((tc,), big, jnp.float32)
 
     vals = pl.pallas_call(
         kernel,
-        grid=(t // tc,),
+        grid=(steps,),
         in_specs=[
-            pl.BlockSpec((16, nc, tc), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, steps), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, nc, tc), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((16, tc), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((16, t), jnp.float32),
-    )(d2p)
+        interpret=interpret,
+    )(live.reshape(1, steps), d2p)
     return _sortnet_mean_from_sorted(vals, k, big)
 
 
@@ -370,10 +423,10 @@ def knn_mean_distances(
         use_pallas_net = (
             use_sortnet
             and row_tile % 128 == 0
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or _FORCE_PALLAS_INTERPRET)
         )
 
-        def _score_tile_planes(qc, q_sq, q_ids, colc, cols_sq, c_ids, c_valid):
+        def _score_tile_planes(qc, q_sq, q_ids, q_val, colc, cols_sq, c_ids, c_valid):
             """Banded tile in PLANE layout: the [T, W] distance tile is
             computed directly as 16 position planes (plane p, chunk c =
             window column c*16+p) by reshaping the column operands — no
@@ -405,7 +458,9 @@ def knn_mean_distances(
                 d2 = jnp.maximum(d2, 0.0)
                 d2 = jnp.where(as_planes(c_valid), d2, big)
                 d2 = jnp.where(q_ids[None, None, :] == as_planes(c_ids), big, d2)
-                return _sortnet_mean_pallas(d2, k, big)
+                return _sortnet_mean_pallas(
+                    d2, k, big, q_valid=q_val, interpret=_FORCE_PALLAS_INTERPRET
+                )
 
             def as_planes(v):  # [W] -> [16, 1, nc]
                 return v.reshape(nc, 16).T[:, None, :]
@@ -423,7 +478,7 @@ def knn_mean_distances(
             return _sortnet_mean([d2[i] for i in range(16)], k, big)
 
         def band_tile_fn(args):
-            qx, qy, qz, qq, qi, start = args[:6]
+            qx, qy, qz, qq, qi, qv, start = args[:7]
 
             def compute(_):
                 colc = [lax.dynamic_slice(pc, (start,), (width,)) for pc in pch]
@@ -432,7 +487,7 @@ def knn_mean_distances(
                 c_valid = lax.dynamic_slice(valid, (start,), (width,))
                 if use_sortnet:
                     return _score_tile_planes(
-                        (qx, qy, qz), qq, qi, colc, cols_sq, c_ids, c_valid
+                        (qx, qy, qz), qq, qi, qv, colc, cols_sq, c_ids, c_valid
                     )
                 q = jnp.stack([qx, qy, qz], axis=-1)
                 cols = jnp.stack(colc, axis=-1)
@@ -441,7 +496,7 @@ def knn_mean_distances(
             if tile_live is None:
                 return compute(0)
             return lax.cond(
-                args[6], compute, lambda _: jnp.zeros((row_tile,), jnp.float32), 0
+                args[7], compute, lambda _: jnp.zeros((row_tile,), jnp.float32), 0
             )
 
         operands = (
@@ -450,6 +505,7 @@ def knn_mean_distances(
             q_ch[2].reshape(tiles, row_tile),
             q_sq.reshape(tiles, row_tile),
             q_ids.reshape(tiles, row_tile),
+            jnp.pad(valid, (0, pad)).reshape(tiles, row_tile),
             starts,
         )
         if tile_live is not None:

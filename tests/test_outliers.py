@@ -192,3 +192,26 @@ def test_padding_capacity_invariance(rng):
             jax.jit(lambda c: knn_mean_distances(c, 15, **kw))(Cloud.pad_to(pts, 2048))
         )
         np.testing.assert_array_equal(big_[:600], plain[:600])
+
+
+def test_pallas_sortnet_path_bitwise_equals_xla(rng, monkeypatch):
+    """The Pallas sortnet selection kernel (forced on the CPU backend in
+    interpret mode) must produce BITWISE-identical knn mean distances to
+    the plain-XLA sorting network: the kernel is min/max only (no FMA
+    contraction surface), and its SMEM dead-chunk skip writes the big
+    sentinel planes for all-invalid query chunks — which the final
+    where(valid, ., 0) maps to the same 0 the XLA path produces.  Covers
+    live chunks, one partially-valid chunk, and fully-dead tail chunks."""
+    import pointcloud_obstacle_processing_tpu.ops.outliers as outliers_mod
+
+    pts = rng.uniform(0, 2, size=(600, 3)).astype(np.float32)
+    pts = pts[np.argsort(pts[:, 0], kind="stable")]  # lattice-ish order
+    cloud = Cloud.pad_to(pts, 1024)  # 600 valid of 1024: chunks 4..7 dead
+    kw = dict(backend="banded", band=192, row_tile=128)  # width 512, sortnet on
+
+    xla = np.asarray(jax.jit(lambda c: knn_mean_distances(c, 15, **kw))(cloud))
+    monkeypatch.setattr(outliers_mod, "_FORCE_PALLAS_INTERPRET", True)
+    pal = np.asarray(jax.jit(lambda c: knn_mean_distances(c, 15, **kw))(cloud))
+
+    np.testing.assert_array_equal(xla, pal)
+    assert (pal[600:] == 0).all()
