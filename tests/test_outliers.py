@@ -215,3 +215,25 @@ def test_pallas_sortnet_path_bitwise_equals_xla(rng, monkeypatch):
 
     np.testing.assert_array_equal(xla, pal)
     assert (pal[600:] == 0).all()
+
+    # the flagship path is VMAPPED: the SMEM live-flag row must batch
+    # cleanly (vmap adds a grid dim — no lax.cond-style select hazard)
+    pts2 = rng.uniform(0, 2, size=(500, 3)).astype(np.float32)
+    pts2 = pts2[np.argsort(pts2[:, 0], kind="stable")]
+    import jax.numpy as jnp
+
+    batch = Cloud(
+        points=jnp.stack([cloud.points, Cloud.pad_to(pts2, 1024).points]),
+        valid=jnp.stack([cloud.valid, Cloud.pad_to(pts2, 1024).valid]),
+    )
+    # distinct jit objects: a shared one would reuse the first trace and
+    # never see the flag flip
+    pal_b = np.asarray(
+        jax.jit(jax.vmap(lambda c: knn_mean_distances(c, 15, **kw)))(batch)
+    )
+    monkeypatch.setattr(outliers_mod, "_FORCE_PALLAS_INTERPRET", False)
+    xla_b = np.asarray(
+        jax.jit(jax.vmap(lambda c: knn_mean_distances(c, 15, **kw)))(batch)
+    )
+    np.testing.assert_array_equal(xla_b, pal_b)
+    np.testing.assert_array_equal(pal_b[0], pal)
