@@ -96,8 +96,13 @@ class PipelineConfig:
     # payload and the run-reduce kernel streams one fewer buffer,
     # decoding in-register.  Centroids shift by <= one quantum (still
     # bitwise-identical across TPU/CPU — both backends quantize the same
-    # way).  Default OFF pending a hardware A/B of the sort/reduce win
-    # (scripts/tpu_experiments32.py); requires the sort engine.
+    # way).  The hardware A/B shipped: sort 7.85 -> 6.05 ms/batch at the
+    # flagship shape and ~0.5-1 ms/window at fullscale
+    # (scripts/tpu_experiments31/32.py + 49.py) — both shipped presets
+    # (models/) turn this ON.  The dataclass default stays False because
+    # packing is a PARITY deviation (docs/PARITY.md #11): an unconfigured
+    # PipelineConfig reproduces the reference bit-budget exactly.
+    # Requires the sort engine.
     voxel_payload_packing: bool = False
 
     # ---- passthrough (cpp:944; dead code path :298-314) --------------------
@@ -126,10 +131,13 @@ class PipelineConfig:
     # work is N + 2*knn_band*N/knn_row_tile — LARGER tiles score strictly
     # fewer window columns and give each row a SUPERSET candidate window
     # (better fidelity) — but past the VMEM sweet spot the Pallas sortnet
-    # tile spills: measured best at 384 on v5e (26.22 ms/batch prefix-3
-    # vs 256's 27.00, 512's 27.49, 768's 33.11 —
-    # scripts/tpu_experiments44.py).  Must be a multiple of 128 for the
-    # Pallas network's lane tiling.
+    # tile spills.  The best tile is SHAPE-DEPENDENT: 384 at the flagship
+    # 24576-voxel shape (26.22 ms/batch prefix-3 vs 256's 27.00, 512's
+    # 27.49, 768's 33.11 — scripts/tpu_experiments44.py), 1024 at the
+    # fullscale 262144 shape (scripts/tpu_experiments49.py); both presets
+    # (models/) pin their measured best.  This default is the untuned
+    # middle for ad-hoc configs nobody has measured — tune per shape.
+    # Must be a multiple of 128 for the Pallas network's lane tiling.
     knn_row_tile: int = 512
     # Skip all-invalid query tiles via a per-tile lax.cond (results are
     # identical — those tiles' outputs are discarded by the valid mask).

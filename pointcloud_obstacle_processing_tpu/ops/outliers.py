@@ -157,7 +157,7 @@ def _sortnet_mean_pallas(
 
     ``q_valid`` ([T] bool, optional) enables the dead-chunk skip: a lane
     chunk whose queries are ALL invalid (the post-voxel cloud is
-    front-compacted, so the capacity tail is pure padding — ~12% of the
+    front-compacted, so the capacity tail is pure padding — ~12.5% of the
     flagship's 24576 rows at ~21.5k live voxels) writes the ``big``
     sentinel planes behind ``pl.when`` instead of running the ~420
     comparators.  Downstream, big-sentinel sorted values produce a 0 mean

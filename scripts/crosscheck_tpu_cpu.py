@@ -10,7 +10,7 @@ actually measures (VERDICT r2 missing #2), so the "bit-identical on
 hardware" claim covers the exact programs being benchmarked:
 
 * "reduced":   32k points / leaf 0.06 (the quick smoke config)
-* "flagship":  models.FLAGSHIP_CONFIG at full shape (131072 points,
+* "flagship":  models.FLAGSHIP_CONFIG at full shape (100352 points,
                leaf 0.04, banded kNN — the headline bench config)
 * "fullscale": models.REFERENCE_FULLSCALE_CONFIG (2M-point window,
                authentic 0.015 leaf, scatter-merge lattice)

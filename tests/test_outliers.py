@@ -206,7 +206,7 @@ def test_pallas_sortnet_path_bitwise_equals_xla(rng, monkeypatch):
 
     pts = rng.uniform(0, 2, size=(600, 3)).astype(np.float32)
     pts = pts[np.argsort(pts[:, 0], kind="stable")]  # lattice-ish order
-    cloud = Cloud.pad_to(pts, 1024)  # 600 valid of 1024: chunks 4..7 dead
+    cloud = Cloud.pad_to(pts, 1024)  # 600 valid of 1024: chunk 4 partial, chunks 5..7 dead
     kw = dict(backend="banded", band=192, row_tile=128)  # width 512, sortnet on
 
     xla = np.asarray(jax.jit(lambda c: knn_mean_distances(c, 15, **kw))(cloud))

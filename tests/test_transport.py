@@ -130,5 +130,58 @@ def test_slow_subscriber_drops_oldest(rng):
         assert len(got) < 30  # some were dropped
         assert got == sorted(got)  # order preserved
         assert got[-1] >= 20  # recent messages won over stale ones
+
+        # observability: the drops are counted per connection (the TCP
+        # mirror of the bus's Subscription.dropped; VERDICT r3 weak #6)
+        stats = srv.connection_stats()
+        assert len(stats) == 1
+        assert stats[0]["dropped"] > 0
+        assert stats[0]["sent"] >= 2
+        assert not stats[0]["abnormal"]
+    finally:
+        srv.close()
+
+
+def test_abnormal_disconnect_is_counted_and_warned(rng, caplog):
+    """A subscriber that vanishes mid-stream (socket torn down, no clean
+    shutdown) must be observable: the connection's stats flip to
+    disconnected+abnormal and a warning is logged."""
+    import logging
+    import socket as socket_mod
+
+    from pointcloud_obstacle_processing_tpu.runtime.transport import (
+        FRAME_MAGIC,  # noqa: F401 — import sanity
+    )
+
+    pub_bus = MessageBus(immediate=True)
+    srv = BusServer(pub_bus, ["centroids"], port=0, queue_size=2)
+    try:
+        sock = socket_mod.create_connection(srv.address)
+        sock.sendall(b"centroids\n\n")
+        assert sock.recv(3) == b"ok\n"
+        pub = pub_bus.advertise("centroids")
+        pub.publish(PointIndicesArrayMsg(header=Header("world", 0.0, 0), points=[]))
+        assert _wait_for(lambda: srv.connection_stats()[0]["sent"] >= 1)
+
+        # tear the socket down hard: RST instead of FIN so the server's
+        # next send fails mid-stream
+        sock.setsockopt(
+            socket_mod.SOL_SOCKET, socket_mod.SO_LINGER,
+            __import__("struct").pack("ii", 1, 0),
+        )
+        sock.close()
+
+        with caplog.at_level(logging.WARNING, "pointcloud_obstacle_processing_tpu"):
+            # keep publishing until the failed send surfaces the disconnect
+            def poked_disconnect():
+                pub.publish(
+                    PointIndicesArrayMsg(header=Header("world", 0.0, 1), points=[])
+                )
+                return srv.connection_stats()[0]["disconnected"]
+
+            assert _wait_for(poked_disconnect, timeout=10.0)
+        st = srv.connection_stats()[0]
+        assert st["abnormal"]
+        assert any("disconnected abnormally" in r.message for r in caplog.records)
     finally:
         srv.close()
