@@ -28,6 +28,7 @@ stable discovery-order tie behavior).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -59,8 +60,22 @@ def _sweep_tile_size(n: int) -> int:
     return 0
 
 
+def _qslice_1d(a: jax.Array, qslice) -> jax.Array:
+    """Query-side row slice: ``a[q_off : q_off + q_len]`` (identity when
+    ``qslice`` is None).  The sweep variants below use it to run only a
+    contiguous query-row range — the unit of multi-chip sharding — while
+    the column side stays the full (replicated) cloud, so each query row's
+    arithmetic is unchanged and results are bitwise identical to the
+    unsliced sweep."""
+    if qslice is None:
+        return a
+    q_off, q_len = qslice
+    return lax.dynamic_slice_in_dim(a, q_off, q_len, axis=0)
+
+
 def _pallas_sweep_jump(
-    pts: jax.Array, valid: jax.Array, labels: jax.Array, tol2: float, tile: int
+    pts: jax.Array, valid: jax.Array, labels: jax.Array, tol2: float, tile: int,
+    qslice=None,
 ) -> jax.Array:
     """Fused ``min(neighbor labels ∪ {label[label]})`` sweep in VMEM.
 
@@ -71,12 +86,15 @@ def _pallas_sweep_jump(
     path-compresses one hop for free), and lane-min-reduces — with NO [T, C]
     HBM materialization.  Measured 2.7 ms/batch-of-32 at C=4096 on v5e vs
     ~9 ms for the XLA tiled sweep + ~2 ms per separate jump gather.
+    ``qslice=(q_off, q_len)`` restricts the QUERY rows (sharding); columns
+    stay full, so sliced outputs equal the same rows of the full sweep.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     C = pts.shape[0]
-    tiles = C // tile
+    Q = C if qslice is None else qslice[1]
+    tiles = Q // tile
 
     def kernel(any_ref, xs, ys, zs, lt, xr, yr, zr, sqc, sqr, lr, vc, vr, out):
         # Valid-tile skip: the cloud arrives front-compacted (ops/compaction),
@@ -106,12 +124,18 @@ def _pallas_sweep_jump(
 
     sq = jnp.sum(pts * pts, axis=-1)
     vi = valid.astype(jnp.int32)
-    tile_any = jnp.any(valid.reshape(tiles, tile), axis=1).astype(jnp.int32)
+    q_pts = _qslice_1d(pts, qslice)
+    q_sq = _qslice_1d(sq, qslice)
+    q_vi = _qslice_1d(vi, qslice)
+    q_lab = _qslice_1d(labels, qslice)
+    tile_any = jnp.any(
+        _qslice_1d(valid, qslice).reshape(tiles, tile), axis=1
+    ).astype(jnp.int32)
     # invalid points keep their (self) label out of every min: sentinel C
     lab_row = jnp.where(valid, labels, jnp.int32(C))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Q, 1), jnp.int32),
         grid=(tiles,),
         in_specs=[pl.BlockSpec((1, tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
                   col(), col(), col(), col(), row(), row(), row(),
@@ -119,10 +143,10 @@ def _pallas_sweep_jump(
         out_specs=col(),
     )(
         tile_any.reshape(1, tiles),
-        pts[:, 0:1], pts[:, 1:2], pts[:, 2:3], labels[:, None],
+        q_pts[:, 0:1], q_pts[:, 1:2], q_pts[:, 2:3], q_lab[:, None],
         pts[:, 0].reshape(1, C), pts[:, 1].reshape(1, C), pts[:, 2].reshape(1, C),
-        sq.reshape(C, 1), sq.reshape(1, C),
-        lab_row.reshape(1, C), vi.reshape(C, 1), vi.reshape(1, C),
+        q_sq.reshape(Q, 1), sq.reshape(1, C),
+        lab_row.reshape(1, C), q_vi.reshape(Q, 1), vi.reshape(1, C),
     )
     return out[:, 0]
 
@@ -187,7 +211,8 @@ def _band_starts(
 
 
 def _xla_sweep_jump(
-    pts: jax.Array, valid: jax.Array, labels: jax.Array, tol2, row_tile: int
+    pts: jax.Array, valid: jax.Array, labels: jax.Array, tol2, row_tile: int,
+    qslice=None,
 ) -> jax.Array:
     """XLA fallback for the fused sweep+jump, tiled over query rows.
 
@@ -195,9 +220,10 @@ def _xla_sweep_jump(
     Pallas kernel (not a dot): TPU and CPU backends then evaluate the
     identical f32 expression tree, keeping cluster connectivity — and the
     full-pipeline crosscheck — bit-identical across backends.
+    ``qslice=(q_off, q_len)`` restricts the query rows (q_len must be a
+    row_tile multiple); columns stay full.
     """
     n = pts.shape[0]
-    n_q = -(-n // row_tile) * row_tile  # query rows padded to a tile multiple
     p_sq = jnp.sum(pts * pts, axis=-1)
     labels_col = jnp.where(valid, labels, jnp.int32(n))  # invalid cols never win
     col_ids = lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -215,28 +241,43 @@ def _xla_sweep_jump(
         cand = jnp.where(hit, labels_col[None, :], jnp.int32(n))
         return jnp.minimum(jnp.min(cand, axis=1), q_lab)
 
+    if qslice is None:
+        n_q = -(-n // row_tile) * row_tile  # query rows padded to a tile multiple
+        pad = n_q - n
+        q_pts = jnp.pad(pts, ((0, pad), (0, 0)))
+        q_sq = jnp.pad(p_sq, (0, pad))
+        q_lab = jnp.pad(labels, (0, pad), constant_values=n)
+        q_valid = jnp.pad(valid, (0, pad))
+    else:
+        n_q = qslice[1]
+        q_pts = _qslice_1d(pts, qslice)
+        q_sq = _qslice_1d(p_sq, qslice)
+        q_lab = _qslice_1d(labels, qslice)
+        q_valid = _qslice_1d(valid, qslice)
     tiles = n_q // row_tile
-    pad = n_q - n
     out = lax.map(
         tile_fn,
         (
-            jnp.pad(pts, ((0, pad), (0, 0))).reshape(tiles, row_tile, 3),
-            jnp.pad(p_sq, (0, pad)).reshape(tiles, row_tile),
-            jnp.pad(labels, (0, pad), constant_values=n).reshape(tiles, row_tile),
-            jnp.pad(valid, (0, pad)).reshape(tiles, row_tile),  # False pads
+            q_pts.reshape(tiles, row_tile, 3),
+            q_sq.reshape(tiles, row_tile),
+            q_lab.reshape(tiles, row_tile),
+            q_valid.reshape(tiles, row_tile),
         ),
     )
-    return out.reshape(n_q)[:n]
+    return out.reshape(n_q)[: (n if qslice is None else n_q)]
 
 
 def _xla_sweep_jump_banded(
-    pts, valid, labels, tol2, tile: int, window: int, starts
+    pts, valid, labels, tol2, tile: int, window: int, starts, qslice=None
 ) -> jax.Array:
     """Banded XLA sweep: query tile t scores only its ``window`` columns at
     ``starts[t]`` (the x-envelope window, ``_band_starts``) — the same
-    fused expression as ``_xla_sweep_jump`` over a dynamic_slice."""
+    fused expression as ``_xla_sweep_jump`` over a dynamic_slice.
+    ``qslice=(q_off, q_len)`` restricts the query rows (q_off/q_len must be
+    tile multiples); columns and starts indexing stay global."""
     n = pts.shape[0]
-    tiles = n // tile
+    Q = n if qslice is None else qslice[1]
+    tiles = Q // tile
     p_sq = jnp.sum(pts * pts, axis=-1)
     labels_col = jnp.where(valid, labels, jnp.int32(n))
 
@@ -258,22 +299,26 @@ def _xla_sweep_jump_banded(
         cand = jnp.where(hit, c_lab[None, :], jnp.int32(n))
         return jnp.minimum(jnp.min(cand, axis=1), q_lab)
 
+    q_starts = (
+        starts if qslice is None
+        else lax.dynamic_slice_in_dim(starts, qslice[0] // tile, tiles, axis=0)
+    )
     out = lax.map(
         tile_fn,
         (
-            pts.reshape(tiles, tile, 3),
-            p_sq.reshape(tiles, tile),
-            labels.reshape(tiles, tile),
-            valid.reshape(tiles, tile),
-            starts,
+            _qslice_1d(pts, qslice).reshape(tiles, tile, 3),
+            _qslice_1d(p_sq, qslice).reshape(tiles, tile),
+            _qslice_1d(labels, qslice).reshape(tiles, tile),
+            _qslice_1d(valid, qslice).reshape(tiles, tile),
+            q_starts,
         ),
     )
-    return out.reshape(n)
+    return out.reshape(Q)
 
 
 def _pallas_sweep_jump_banded(
     pts, valid, labels, tol2: float, tile: int, window: int, starts,
-    tile_live=None,
+    tile_live=None, qslice=None,
 ) -> jax.Array:
     """Banded fused sweep as a Pallas kernel: per query tile, one DMA pulls
     the tile's ``window`` columns (x/y/z/|p|²/valid + labels) from HBM at
@@ -281,12 +326,14 @@ def _pallas_sweep_jump_banded(
     distance/adjacency/jump/lane-min arithmetic as ``_pallas_sweep_jump``
     runs over W-chunked slabs (the [T, window] tile would blow VMEM at
     window=16k).  Work is C*window instead of C*C — 2.5x at the fullscale
-    shape (40960 capacity, 16384 window)."""
+    shape (40960 capacity, 16384 window).  ``qslice=(q_off, q_len)``
+    restricts the query tiles (sharding); the column table stays full."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     C = pts.shape[0]
-    tiles = C // tile
+    Q = C if qslice is None else qslice[1]
+    tiles = Q // tile
     sq = jnp.sum(pts * pts, axis=-1)
     # one [8, C] f32 column table (Mosaic DMA slices must be 8-aligned on
     # the sublane dim): x, y, z, |p|^2, valid, label (exact as f32 for
@@ -360,12 +407,21 @@ def _pallas_sweep_jump_banded(
 
     col = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vi = valid.astype(jnp.float32)
-    tile_any = jnp.any(valid.reshape(tiles, tile), axis=1).astype(jnp.int32)
+    q_valid = _qslice_1d(valid, qslice)
+    tile_any = jnp.any(q_valid.reshape(tiles, tile), axis=1).astype(jnp.int32)
+    q_starts = (
+        starts if qslice is None
+        else lax.dynamic_slice_in_dim(starts, qslice[0] // tile, tiles, axis=0)
+    )
     if tile_live is not None:
-        tile_any = tile_any * tile_live.astype(jnp.int32)
+        q_live = (
+            tile_live if qslice is None
+            else lax.dynamic_slice_in_dim(tile_live, qslice[0] // tile, tiles, axis=0)
+        )
+        tile_any = tile_any * q_live.astype(jnp.int32)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Q, 1), jnp.int32),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec((1, tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -379,10 +435,14 @@ def _pallas_sweep_jump_banded(
             pltpu.SemaphoreType.DMA,
         ],
     )(
-        starts.reshape(1, tiles),
+        q_starts.reshape(1, tiles),
         tile_any.reshape(1, tiles),
-        pts[:, 0:1], pts[:, 1:2], pts[:, 2:3], labels[:, None],
-        sq[:, None], vi[:, None],
+        _qslice_1d(pts, qslice)[:, 0:1],
+        _qslice_1d(pts, qslice)[:, 1:2],
+        _qslice_1d(pts, qslice)[:, 2:3],
+        _qslice_1d(labels, qslice)[:, None],
+        _qslice_1d(sq, qslice)[:, None],
+        _qslice_1d(vi, qslice)[:, None],
         fcols,
     )
     return out[:, 0]
@@ -393,6 +453,8 @@ def _neighbor_min_sweep(
     use_pallas: bool | None = None,
     band: tuple | None = None,
     tile_live=None,
+    shard_axis: str | None = None,
+    num_shards: int = 1,
 ) -> jax.Array:
     """One fused ``label[i] <- min over {i} ∪ neighbors(i) ∪ {label[label[i]]}``
     pass.  Pallas VMEM kernel on TPU, identical-arithmetic XLA tiles
@@ -401,24 +463,50 @@ def _neighbor_min_sweep(
     sweep then scores only each tile's x-envelope window.  ``tile_live``:
     optional [tiles] frontier flags (see the banded kernel's skip note);
     the XLA fallback ignores them — skipping is provably output-identical,
-    so gated TPU and ungated CPU still agree bitwise."""
+    so gated TPU and ungated CPU still agree bitwise.
+
+    ``shard_axis``/``num_shards`` (inside shard_map only): the query rows
+    split into num_shards contiguous ranges — each shard sweeps only its
+    range against the full (replicated) column table and the [n] result is
+    re-assembled with a tiled ``all_gather``.  Per-row arithmetic is the
+    unsliced program's, so labels are bitwise identical to the unsharded
+    sweep while per-shard work drops num_shards-fold.  Falls back to the
+    replicated sweep when the row count does not shard evenly."""
     n = pts.shape[0]
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if band is not None:
-        btile, window, starts = band
-        if use_pallas:
-            return _pallas_sweep_jump_banded(
-                pts, valid, labels, float(tol2), btile, window, starts,
-                tile_live,
+
+    def run(qslice):
+        q_len = n if qslice is None else qslice[1]
+        if band is not None:
+            btile, window, starts = band
+            if use_pallas:
+                return _pallas_sweep_jump_banded(
+                    pts, valid, labels, float(tol2), btile, window, starts,
+                    tile_live, qslice=qslice,
+                )
+            return _xla_sweep_jump_banded(
+                pts, valid, labels, tol2, btile, window, starts, qslice=qslice
             )
-        return _xla_sweep_jump_banded(
-            pts, valid, labels, tol2, btile, window, starts
-        )
-    tile = _sweep_tile_size(n)
-    if use_pallas and tile:
-        return _pallas_sweep_jump(pts, valid, labels, float(tol2), tile)
-    return _xla_sweep_jump(pts, valid, labels, tol2, row_tile)
+        tile = _sweep_tile_size(q_len)
+        if use_pallas and tile:
+            return _pallas_sweep_jump(
+                pts, valid, labels, float(tol2), tile, qslice=qslice
+            )
+        rt = row_tile if q_len % row_tile == 0 else math.gcd(row_tile, q_len)
+        return _xla_sweep_jump(pts, valid, labels, tol2, rt, qslice=qslice)
+
+    rps = n // num_shards if num_shards > 1 else n
+    can_shard = (
+        shard_axis is not None
+        and num_shards > 1
+        and n % num_shards == 0
+        and (band is None or rps % band[0] == 0)
+    )
+    if not can_shard:
+        return run(None)
+    s = lax.axis_index(shard_axis)
+    return lax.all_gather(run((s * rps, rps)), shard_axis, tiled=True)
 
 
 class ClusterOutput(NamedTuple):
@@ -441,6 +529,8 @@ def euclidean_cluster(
     max_iters: int = 64,
     row_tile: int = 512,
     band_window: int = 0,
+    shard_axis: str | None = None,
+    num_shards: int = 1,
 ) -> ClusterOutput:
     """Connected components + size gate + size-descending slot assignment.
 
@@ -451,7 +541,14 @@ def euclidean_cluster(
     order (x non-decreasing up to intra-voxel jitter, handled by the
     envelopes): a window covering every tolerance edge yields the EXACT
     full-sweep components; a too-small window raises ``band_overflow``
-    (observable in StageStats) instead of failing silently."""
+    (observable in StageStats) instead of failing silently.
+
+    ``shard_axis``/``num_shards`` (inside shard_map only): each while-loop
+    sweep — the O(C*window) bulk of the stage — runs its query-row range
+    per shard and all_gathers the [C] label vector back (bitwise identical
+    to the unsharded sweep; see ``_neighbor_min_sweep``).  The cheap O(C)
+    glue (seeding, hook, jump, sizes, slots) stays replicated, so every
+    shard carries identical labels and the loop runs lockstep."""
     pts = cloud.points
     valid = cloud.valid
     n = cloud.capacity
@@ -527,7 +624,8 @@ def euclidean_cluster(
         # (label[label[i]] rides the same [T, C] candidate reduction).
         tile_live = _frontier_live(changed) if track_frontier else None
         nbr_min = _neighbor_min_sweep(
-            p, valid, labels, tol2, row_tile, band=band, tile_live=tile_live
+            p, valid, labels, tol2, row_tile, band=band, tile_live=tile_live,
+            shard_axis=shard_axis, num_shards=num_shards,
         )
 
         # Shiloach-Vishkin style hook: propagate each point's neighborhood

@@ -272,6 +272,7 @@ def _kmin_mean(d2: jax.Array, k: int, big: float) -> jax.Array:
 def knn_mean_distances(
     cloud: Cloud, k: int, row_tile: int = 512, backend: str = "approx",
     band: int = 1024, skip_dead_tiles: bool = False,
+    shard_axis: str | None = None, num_shards: int = 1,
 ) -> jax.Array:
     """Mean distance to the k nearest valid neighbors for every point.
 
@@ -302,6 +303,16 @@ def knn_mean_distances(
         exact in tests/test_outliers.py).
       * "banded_approx": the band window with ``lax.approx_min_k``
         selection (recall 0.98) — kept for comparison.
+
+    ``shard_axis``/``num_shards`` (call inside shard_map only): the query
+    TILES are split into ``num_shards`` contiguous ranges — shard s runs
+    the per-tile program for its range only and the [N] result is
+    re-assembled with a tiled ``all_gather``.  The column side (the whole
+    cloud) is replicated on every shard, so each tile's computation is
+    THE SAME program as the unsharded path on the same operands: results
+    are bitwise identical, while per-shard work drops num_shards-fold
+    (the multi-chip scaling path, parallel/sharding.py).  Falls back to
+    replicated execution when the tile count does not divide.
     """
     pts = cloud.points
     n = cloud.capacity
@@ -387,6 +398,18 @@ def knn_mean_distances(
 
     tiles = n_q // row_tile
     pad = n_q - n
+
+    def _map_query_tiles(tile_fn, operands):
+        """lax.map over query tiles; optionally sharded over ``shard_axis``
+        (contiguous tile ranges + tiled all_gather — see docstring)."""
+        if shard_axis is None or num_shards <= 1 or tiles % num_shards:
+            return lax.map(tile_fn, operands)
+        tl = tiles // num_shards
+        s = lax.axis_index(shard_axis)
+        local = tuple(
+            lax.dynamic_slice_in_dim(a, s * tl, tl, axis=0) for a in operands
+        )
+        return lax.all_gather(lax.map(tile_fn, local), shard_axis, tiled=True)
     q_ch = [jnp.pad(pc, (0, pad)) for pc in pch]  # three [n_q] channels
     q_sq = jnp.pad(p_sq, (0, pad))
     # padded query rows get ids >= n: they never match a column and their
@@ -510,7 +533,7 @@ def knn_mean_distances(
         )
         if tile_live is not None:
             operands = operands + (tile_live,)
-        out = lax.map(band_tile_fn, operands)
+        out = _map_query_tiles(band_tile_fn, operands)
     else:
         p2d = jnp.stack(pch, axis=-1)
         q_p = jnp.stack(q_ch, axis=-1)
@@ -533,7 +556,7 @@ def knn_mean_distances(
         )
         if tile_live is not None:
             operands = operands + (tile_live,)
-        out = lax.map(tile_fn, operands)
+        out = _map_query_tiles(tile_fn, operands)
     return jnp.where(valid, out.reshape(n_q)[:n], 0.0)
 
 
@@ -546,9 +569,19 @@ class OutlierResult(NamedTuple):
 def remove_statistical_outliers(
     cloud: Cloud, mean_k: int, std_dev_mult: float, row_tile: int = 512,
     backend: str = "approx", band: int = 1024, skip_dead_tiles: bool = False,
+    shard_axis: str | None = None, num_shards: int = 1,
 ) -> OutlierResult:
-    """Full filter (obstacle_detection.cpp:326-330 semantics)."""
-    d = knn_mean_distances(cloud, mean_k, row_tile, backend, band, skip_dead_tiles)
+    """Full filter (obstacle_detection.cpp:326-330 semantics).
+
+    With ``shard_axis`` set (inside shard_map), the O(N*W) kNN work is
+    split over query-tile ranges per shard; the gathered [N] mean-distance
+    vector is then replicated, so the cheap O(N) mu/sigma reduction below
+    runs the SAME full-array reduce as the unsharded path — keep decisions
+    are bitwise identical to single-chip."""
+    d = knn_mean_distances(
+        cloud, mean_k, row_tile, backend, band, skip_dead_tiles,
+        shard_axis=shard_axis, num_shards=num_shards,
+    )
     valid_f = cloud.valid.astype(jnp.float32)
     n = jnp.maximum(jnp.sum(valid_f), 2.0)
     s1 = jnp.sum(d * valid_f)

@@ -117,10 +117,22 @@ def _post_voxel(
     config: PipelineConfig,
     world_from_sensor: RigidTransform,
     voxel_overflow: jax.Array | None = None,
+    shard_axis: str | None = None,
+    num_shards: int = 1,
 ) -> PipelineResult:
     """Stages 3-8, shared between the single-chip path and the point-sharded
     multi-chip path (which voxelizes shards locally, all-gathers the partial
-    voxel tables, and enters here with the merged, replicated cloud)."""
+    voxel tables, and enters here with the merged, replicated cloud).
+
+    ``shard_axis``/``num_shards`` (set only by the point-sharded path):
+    the two O(N*W) stages — the banded kNN (stage 3) and the cluster
+    sweeps (stage 5) — split their query tiles across the mesh axis and
+    all_gather the per-row results, which is bitwise identical to running
+    them replicated (each tile's program and operands are unchanged; see
+    ops/outliers.py::knn_mean_distances and ops/cluster.py).  The cheap
+    O(N) stages (RANSAC at ~4% of the fullscale window, compaction,
+    centroids, shadows, grid marking) stay replicated: distributing them
+    would trade collective latency for work no chip feels."""
     if voxel_overflow is None:
         voxel_overflow = n_voxels > config.max_voxels
     # 3. statistical outlier removal.  The "banded" engine needs the
@@ -137,6 +149,8 @@ def _post_voxel(
         band=config.knn_band,
         row_tile=config.knn_row_tile,
         skip_dead_tiles=config.knn_skip_dead_tiles,
+        shard_axis=shard_axis,
+        num_shards=num_shards,
     )
 
     # 4. multi-plane RANSAC removal
@@ -152,6 +166,8 @@ def _post_voxel(
         config.max_clusters,
         config.cluster_max_iters,
         band_window=config.cluster_band_window,
+        shard_axis=shard_axis,
+        num_shards=num_shards,
     )
 
     # centroids + radii (dormant reference API, first-class here)

