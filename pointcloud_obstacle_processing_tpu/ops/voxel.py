@@ -55,6 +55,13 @@ __all__ = [
 
 _I32_MAX = jnp.iinfo(jnp.int32).max
 
+# merge_voxel_partials: gathered-table row count at or above which the
+# packed-sort + run-reduce merge replaces the dense-bin scatter merge
+# (the scatter serializes ~20 cyc/row: 93.8 vs 12.9 ms at the fullscale
+# 2M-row gather, scripts/tpu_experiments66.py; small SP tables keep the
+# scatter, whose ~3 ms at 128k rows isn't worth re-validating).
+_SORT_MERGE_MIN_ROWS = 1 << 19
+
 
 class VoxelResult(NamedTuple):
     cloud: Cloud  # [max_voxels] centroids, key-sorted
@@ -509,13 +516,18 @@ def merge_voxel_partials(
     """Merge concatenated partial tables (e.g. all_gather'ed shards).
 
     With ``bounds`` + ``leaf_size`` (the same crop box the shards binned
-    against) the merge is **sort-free**: the bounded (ix, iy, iz) keys pack
-    into one int32 and same-key rows are summed by a dense [K, 4]
-    scatter-add (exact f32) followed by the block stream compaction — the
-    path the single-chip pipeline already uses.  This replaces the 3-key
-    ``lax.sort`` over the gathered tables (a ~27 ms-class op on TPU for
-    131k rows; the scatter is ~20 cycles/row ≈ 3 ms at 8 shards x 16k rows).
-    Without bounds, the sort fallback handles unbounded keys.
+    against) the bounded (ix, iy, iz) keys pack into one int32 and the
+    merge takes one of two paths by table size:
+
+    * **large tables** (>= ``_SORT_MERGE_MIN_ROWS`` rows — the fullscale
+      SP gather): packed 1-key stable sort + the run-reduce machinery,
+      12.9 vs the scatter path's 93.8 ms at 2M rows on v5e
+      (scripts/tpu_experiments66.py);
+    * **small tables**: dense [K, 4] scatter-add (exact f32) + block
+      stream compaction (~3 ms at 8 shards x 16k rows; the scatter
+      serializes ~20 cycles/row, which is why large tables sort).
+
+    Without bounds, the 3-key sort fallback handles unbounded keys.
     """
     spec = _pack_spec(bounds, leaf_size) if leaf_size is not None else None
     if spec is not None and spec[1][0] * spec[1][1] * spec[1][2] <= (1 << 23):
@@ -526,6 +538,55 @@ def merge_voxel_partials(
         ky = jnp.clip(partials.keys[:, 1] - imin[1], 0, dims[1] - 1)
         kz = jnp.clip(partials.keys[:, 2] - imin[2], 0, dims[2] - 1)
         packed = jnp.where(real, (kx * dims[1] + ky) * dims[2] + kz, K)
+        rows = packed.shape[0]
+        if rows >= _SORT_MERGE_MIN_ROWS and rows % 128 == 0:
+            # Large gathered tables (the fullscale SP path: 8 shards x
+            # 262144 rows): the dense-bin scatter-add below serializes at
+            # ~20 cycles/row — measured 93.8 ms/merge on v5e vs 12.9 for a
+            # packed 1-key stable sort + the run-reduce machinery
+            # (scripts/tpu_experiments66.py; the r2 "sort is 27 ms-class"
+            # datum that motivated the scatter was overturned by the
+            # sort-engine work — a 2M-row multi-operand sort is ~4.5 ms).
+            # Counts ride a second run-reduce sharing the sorted buffer
+            # (the kernel sums 3 channels + ROW count per run; counts are
+            # integer-valued f32 < 2^24, so their segmented sums are
+            # exact in any order).  Emits ascending lattice order like
+            # the dense path; f32 coordinate sums are FULL precision here
+            # (the dense path's fast mode quantizes corner-relative
+            # updates to bf16 terms).
+            from .pallas_runreduce import sorted_run_reduce
+
+            sk, sx, sy, sz, scnt = lax.sort(
+                (
+                    packed,
+                    partials.sums[:, 0],
+                    partials.sums[:, 1],
+                    partials.sums[:, 2],
+                    partials.counts,
+                ),
+                num_keys=1,
+                is_stable=False,
+            )
+            vals, num = sorted_run_reduce(sk, (sx, sy, sz), K, capacity)
+            cvals, _ = sorted_run_reduce(sk, (scnt, scnt, scnt), K, capacity)
+            sv = lax.optimization_barrier(vals.T)  # one read of the wide buffer
+            cv = lax.optimization_barrier(cvals.T)
+            slot = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+            out_valid = slot < jnp.minimum(num, capacity)
+            slot_key = jnp.clip(sv[0].astype(jnp.int32), 0, K - 1)
+            lx = slot_key // (dims[1] * dims[2]) + imin[0]
+            lrem = slot_key % (dims[1] * dims[2])
+            ly = lrem // dims[2] + imin[1]
+            lz = lrem % dims[2] + imin[2]
+            key_cols = [jnp.where(out_valid, l, _I32_MAX) for l in (lx, ly, lz)]
+            sum_cols = [jnp.where(out_valid, sv[ch], 0.0) for ch in (1, 2, 3)]
+            return VoxelPartials(
+                keys=jnp.stack(key_cols, axis=-1),
+                sums=jnp.stack(sum_cols, axis=-1),
+                counts=jnp.where(out_valid, cv[1], 0.0),
+                num_voxels=num,
+                overflow=num > capacity,
+            )
         # corner-relative partial sums: keeps the fused value gather's bf16
         # split error proportional to count*leaf rather than |coordinate|
         corner = partials.keys.astype(jnp.float32) * jnp.float32(leaf_size)

@@ -202,3 +202,45 @@ def test_voxel_output_is_ascending_lattice_order(rng):
         k = np.floor(got / np.float32(leaf)).astype(np.int64)
         packed = (k[:, 0] * (1 << 20)) + (k[:, 1] * (1 << 10)) + k[:, 2]
         assert (np.diff(packed) > 0).all(), f"{name}: not ascending lattice order"
+
+
+def test_merge_partials_large_table_sort_path_matches_densebin(rng, monkeypatch):
+    """The large-table merge path (packed 1-key sort + run-reduce; the
+    fullscale SP gather takes it — scripts/tpu_experiments66.py priced the
+    dense-bin scatter at 93.8 vs 12.9 ms there) must produce the dense-bin
+    path's table: identical keys/counts/num (counts are integer-valued f32,
+    exact in any summation order), coordinate sums to f32 tolerance (the
+    two paths sum runs in different orders; the sort path is FULL f32 —
+    tighter than dense fast-mode's bf16 corner-relative terms)."""
+    import pointcloud_obstacle_processing_tpu.ops.voxel as voxel_mod
+    from pointcloud_obstacle_processing_tpu.ops.voxel import (
+        VoxelPartials,
+        merge_voxel_partials,
+        voxel_partials,
+    )
+
+    bounds = ((0.0, 0.0, -0.5), (4.5, 3.78, 0.25))
+    leaf = 0.05
+    pts1 = rng.uniform([0, 0, -0.5], [4.5, 3.78, 0.25], (4000, 3)).astype(np.float32)
+    pts2 = pts1 + rng.normal(0, 0.02, pts1.shape).astype(np.float32)
+    pts2 = np.clip(pts2, [0, 0, -0.5], [4.49, 3.77, 0.249]).astype(np.float32)
+    p1 = voxel_partials(Cloud.pad_to(pts1, 4096), leaf, 4096, bounds)
+    p2 = voxel_partials(Cloud.pad_to(pts2, 4096), leaf, 4096, bounds)
+    cat = VoxelPartials(
+        keys=np.concatenate([np.asarray(p1.keys), np.asarray(p2.keys)]),
+        sums=np.concatenate([np.asarray(p1.sums), np.asarray(p2.sums)]),
+        counts=np.concatenate([np.asarray(p1.counts), np.asarray(p2.counts)]),
+        num_voxels=p1.num_voxels,
+        overflow=p1.overflow,
+    )
+    dense = merge_voxel_partials(cat, 8192, bounds=bounds, leaf_size=leaf)
+    # force the large-table threshold down so the same small table takes
+    # the sort path (8192 rows >= 64)
+    monkeypatch.setattr(voxel_mod, "_SORT_MERGE_MIN_ROWS", 64)
+    sortp = merge_voxel_partials(cat, 8192, bounds=bounds, leaf_size=leaf)
+    assert int(dense.num_voxels) == int(sortp.num_voxels)
+    np.testing.assert_array_equal(np.asarray(dense.keys), np.asarray(sortp.keys))
+    np.testing.assert_array_equal(np.asarray(dense.counts), np.asarray(sortp.counts))
+    np.testing.assert_allclose(
+        np.asarray(dense.sums), np.asarray(sortp.sums), rtol=1e-5, atol=1e-5
+    )
