@@ -157,8 +157,13 @@ def _kernel(
     carry:    [1, 4] f32 SMEM — running segment sums (x, y, z, count) at
         the window boundary.
     """
+    cnt_ref = None
     if quantum is None:
-        oz_ref, out_ref, scratch, tmp, carry, sem, sem2 = rest
+        if len(rest) == 8:  # 4th value buffer: per-row counts (the merge
+            # path — counts replace the implicit 1s in the count channel)
+            oz_ref, cnt_ref, out_ref, scratch, tmp, carry, sem, sem2 = rest
+        else:
+            oz_ref, out_ref, scratch, tmp, carry, sem, sem2 = rest
     else:
         out_ref, scratch, tmp, carry, sem, sem2 = rest
     bi = pl.program_id(0)
@@ -191,8 +196,13 @@ def _kernel(
         ox, oy, oz = a_ref[0, 0], b_ref[0, 0], oz_ref[0, 0]
     else:
         ox, oy, oz = _unpack_offsets(a_ref[0, 0], b_ref[0, 0], quantum)
+    cnt_row = (
+        jnp.where(valid, cnt_ref[0, 0], 0.0)
+        if cnt_ref is not None
+        else jnp.where(valid, 1.0, 0.0)
+    )
     ch = jnp.concatenate(
-        [ox, oy, oz, jnp.where(valid, 1.0, 0.0)],
+        [ox, oy, oz, cnt_row],
         axis=0,
     )  # [4, W]: channels on sublanes — one vector op per scan step
     v = _scan_channels(ch, heads, w_full)
@@ -473,8 +483,12 @@ def _kernel2w(
     last step).  One W-sized scratch region per window — same total
     scratch as the 1-row kernel's double buffer.
     """
+    cnt_ref = None
     if quantum is None:
-        oz_ref, out_ref, scratch, tmp, carry, sem, sem2 = rest
+        if len(rest) == 8:  # 4th value buffer: per-row counts (merge path)
+            oz_ref, cnt_ref, out_ref, scratch, tmp, carry, sem, sem2 = rest
+        else:
+            oz_ref, out_ref, scratch, tmp, carry, sem, sem2 = rest
     else:
         out_ref, scratch, tmp, carry, sem, sem2 = rest
     bi = pl.program_id(0)
@@ -514,7 +528,15 @@ def _kernel2w(
         ox2, oy2, oz2 = a_ref[0, 0], b_ref[0, 0], oz_ref[0, 0]  # [1, 2W]
     else:
         ox2, oy2, oz2 = _unpack_offsets(a_ref[0, 0], b_ref[0, 0], quantum)
-    cnt2 = jnp.where(valid, 1.0, 0.0)  # [2, W]
+    if cnt_ref is not None:
+        c2 = cnt_ref[0, 0]  # [1, 2W]
+        cnt2 = jnp.where(
+            valid,
+            jnp.concatenate([c2[:, :w_full], c2[:, w_full:]], axis=0),
+            0.0,
+        )  # [2, W]
+    else:
+        cnt2 = jnp.where(valid, 1.0, 0.0)  # [2, W]
     # rows 0..3 window a channels, 4..7 window b channels
     ch = jnp.concatenate(
         [
@@ -665,17 +687,26 @@ def _xla_fallback(
     exact gathers at the compacted run-end rows."""
     from .mxu_histogram import compact_occupied_blocks
 
+    cnt_src = None
     if quantum is not None:
         offs = _unpack_offsets(offs[0], offs[1], quantum)
+    elif len(offs) == 4:  # 4th value buffer: per-row counts (merge path)
+        cnt_src = offs[3]
+        offs = offs[:3]
     n = skey.shape[0]
     w = group * 128
     steps = n // w
     valid, heads, is_end = _flags(skey, sentinel)
 
     hw = heads.astype(jnp.int32).reshape(steps, w)
+    cnt_vals = (
+        jnp.where(valid, cnt_src, 0.0)
+        if cnt_src is not None
+        else jnp.where(valid, 1.0, 0.0)
+    )
     ch = jnp.stack(
         [offs[c].reshape(steps, w) for c in range(3)]
-        + [jnp.where(valid, 1.0, 0.0).reshape(steps, w)],
+        + [cnt_vals.reshape(steps, w)],
         axis=0,
     )  # [4, steps, w]
     local = _scan_channels(ch, hw, w)  # the kernel's exact step sequence
@@ -944,6 +975,12 @@ def sorted_run_reduce(
     fixed-point multiples of ``quantum``, decoded in-kernel
     (``_unpack_offsets``); one fewer payload buffer through the caller's
     sort and this kernel's HBM streams.
+    A FOUR-buffer ``offs`` (quantum=None only) makes the 4th buffer the
+    per-row COUNTS: the count channel sums those values instead of the
+    implicit 1s — the partial-table merge path (merge_voxel_partials),
+    where each sorted row already carries a point count.  With counts of
+    all-ones the outputs are bitwise identical to the 3-buffer form (the
+    channel arithmetic is unchanged).
     N must be a multiple of 128*group.  Returns (vals [capacity, 5] f32,
     num [] int32); slots >= num are unspecified (callers mask), channel 0
     is the run key as f32 (exact for keys < 2^24).
@@ -979,8 +1016,12 @@ def sorted_run_reduce(
         bufs = (offs[0], offs[1], offs[2])
     if quantum is not None and len(bufs) != 2:
         raise ValueError("quantum set: offs must be the (pxy, pz) int32 pair")
-    if quantum is None and len(bufs) != 3:
-        raise ValueError("offs must carry three offset buffers")
+    if quantum is None and len(bufs) not in (3, 4):
+        raise ValueError(
+            "offs must carry three offset buffers (or four: the 4th is "
+            "per-row COUNTS replacing the count channel's implicit 1s — "
+            "the partial-table merge path)"
+        )
     if not use_pallas:
         return _xla_fallback(skey, bufs, sentinel, capacity, group, quantum)
 
@@ -1010,7 +1051,9 @@ def sorted_run_reduce(
         # 8-row kernel for real batches (pads B up to a multiple of 8);
         # its per-row arithmetic is identical, so this choice is
         # value-invisible.  group > 8 exceeds its VMEM scratch budget.
-        if axis_size >= 8 and group <= 8 and KERNEL8_ENABLED:
+        # The counts-channel layout (4 bufs) is not plumbed into _kernel8
+        # — batches with counts take the generic kernel.
+        if axis_size >= 8 and group <= 8 and KERNEL8_ENABLED and len(bs) != 4:
             vals, num = _pallas_batched8(
                 k, bs, sentinel, capacity, group, flush, interpret, quantum
             )

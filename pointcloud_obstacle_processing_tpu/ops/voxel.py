@@ -547,13 +547,12 @@ def merge_voxel_partials(
             # (scripts/tpu_experiments66.py; the r2 "sort is 27 ms-class"
             # datum that motivated the scatter was overturned by the
             # sort-engine work — a 2M-row multi-operand sort is ~4.5 ms).
-            # Counts ride a second run-reduce sharing the sorted buffer
-            # (the kernel sums 3 channels + ROW count per run; counts are
-            # integer-valued f32 < 2^24, so their segmented sums are
-            # exact in any order).  Emits ascending lattice order like
-            # the dense path; f32 coordinate sums are FULL precision here
-            # (the dense path's fast mode quantizes corner-relative
-            # updates to bf16 terms).
+            # Counts ride the run-reduce's COUNT CHANNEL as a 4th value
+            # buffer (integer-valued f32 < 2^24 — segmented sums exact in
+            # any order), so one reduce pass covers all four channels.
+            # Emits ascending lattice order like the dense path; f32
+            # coordinate sums are FULL precision here (the dense path's
+            # fast mode quantizes corner-relative updates to bf16 terms).
             from .pallas_runreduce import sorted_run_reduce
 
             sk, sx, sy, sz, scnt = lax.sort(
@@ -567,10 +566,8 @@ def merge_voxel_partials(
                 num_keys=1,
                 is_stable=False,
             )
-            vals, num = sorted_run_reduce(sk, (sx, sy, sz), K, capacity)
-            cvals, _ = sorted_run_reduce(sk, (scnt, scnt, scnt), K, capacity)
+            vals, num = sorted_run_reduce(sk, (sx, sy, sz, scnt), K, capacity)
             sv = lax.optimization_barrier(vals.T)  # one read of the wide buffer
-            cv = lax.optimization_barrier(cvals.T)
             slot = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
             out_valid = slot < jnp.minimum(num, capacity)
             slot_key = jnp.clip(sv[0].astype(jnp.int32), 0, K - 1)
@@ -583,7 +580,7 @@ def merge_voxel_partials(
             return VoxelPartials(
                 keys=jnp.stack(key_cols, axis=-1),
                 sums=jnp.stack(sum_cols, axis=-1),
-                counts=jnp.where(out_valid, cv[1], 0.0),
+                counts=jnp.where(out_valid, sv[4], 0.0),
                 num_voxels=num,
                 overflow=num > capacity,
             )

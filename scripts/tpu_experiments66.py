@@ -140,7 +140,11 @@ def main():
     n_real = int(np.asarray(jnp.sum((gathered.counts > 0).astype(jnp.int32))))
     log(f"gathered tables: {S} x {cfg.max_voxels} rows, {n_real} real")
 
-    # ---- (merge): shipped dense-bin scatter merge -------------------------
+    # ---- (merge): merge_voxel_partials + finalize as shipped --------------
+    # NOTE: since round 4 the shipped path for >= 2^19-row tables is the
+    # packed-sort single-pass merge; to re-price the old dense-bin scatter
+    # explicitly, raise voxel_mod._SORT_MERGE_MIN_ROWS before building the
+    # chain (the 93.8 ms dense-bin datum was measured pre-switch).
     def v_merge(keys, sums, counts):
         m = merge_voxel_partials(
             VoxelPartials(
@@ -184,6 +188,21 @@ def main():
         vals2, _ = sorted_run_reduce(sk, (scnt, scnt, scnt), K, cfg.max_voxels)
         return jnp.sum(vals1) + jnp.sum(vals2[:, 1]) + num.astype(jnp.float32)
 
+    def v_mergesort1(keys, sums, counts):
+        """Single-pass variant: counts ride the run-reduce's count channel
+        as a 4th value buffer (the shipped merge after round 4)."""
+        real = counts > 0.0
+        kx = jnp.clip(keys[:, 0] - imin[0], 0, dims[0] - 1)
+        ky = jnp.clip(keys[:, 1] - imin[1], 0, dims[1] - 1)
+        kz = jnp.clip(keys[:, 2] - imin[2], 0, dims[2] - 1)
+        packed = jnp.where(real, (kx * dims[1] + ky) * dims[2] + kz, K)
+        sk, sx, sy, sz, scnt = lax.sort(
+            (packed, sums[:, 0], sums[:, 1], sums[:, 2], counts),
+            num_keys=1, is_stable=False,
+        )
+        vals, num = sorted_run_reduce(sk, (sx, sy, sz, scnt), K, cfg.max_voxels)
+        return jnp.sum(vals) + num.astype(jnp.float32)
+
     def chain_tab(fn, m):
         def run(keys, sums, counts):
             def body(carry, _):
@@ -200,7 +219,7 @@ def main():
             chain_cloud(v_local, 3),
             (shard_pts[0], shard_valid[0]),
         ),
-        "merge_densebin": (
+        "merge_shipped": (  # merge_voxel_partials + finalize, current path
             chain_tab(v_merge, 1),
             chain_tab(v_merge, 3),
             (gathered.keys, gathered.sums, gathered.counts),
@@ -208,6 +227,11 @@ def main():
         "merge_sortrr": (
             chain_tab(v_mergesort, 1),
             chain_tab(v_mergesort, 3),
+            (gathered.keys, gathered.sums, gathered.counts),
+        ),
+        "merge_sortrr1": (
+            chain_tab(v_mergesort1, 1),
+            chain_tab(v_mergesort1, 3),
             (gathered.keys, gathered.sums, gathered.counts),
         ),
     }

@@ -303,3 +303,76 @@ def test_all_invalid():
             skey, offs, 99, 32, group=8, use_pallas=use_pallas, interpret=use_pallas
         )
         assert int(num) == 0
+
+
+@pytest.mark.parametrize("kernel2w", [False, True])
+def test_counts_channel_matches_two_pass_and_ones(kernel2w, monkeypatch):
+    """The 4-buffer counts-channel layout (the merge path,
+    merge_voxel_partials): (a) counts of all-ones is BITWISE equal to the
+    3-buffer form on both the kernel and the fallback; (b) arbitrary
+    integer counts reproduce the two-pass construction (a second reduce
+    over (cnt, cnt, cnt)) exactly — integer-valued f32 segmented sums are
+    order-exact; (c) kernel == fallback bitwise."""
+    import pointcloud_obstacle_processing_tpu.ops.pallas_runreduce as rr
+
+    if not kernel2w:
+        monkeypatch.setattr(rr, "KERNEL2W_ENABLED", False)
+    rng = np.random.default_rng(5)
+    n, n_runs, n_valid, cap, sentinel = 2048, 160, 1500, 256, 10**6
+    skey, offs = _case(rng, n, n_runs, n_valid, sentinel)
+    counts = np.zeros(n, np.float32)
+    counts[:n_valid] = rng.integers(1, 50, n_valid).astype(np.float32)
+    counts = jnp.asarray(counts)
+    bufs4 = (offs[0], offs[1], offs[2], counts)
+
+    # (a) all-ones counts == implicit-ones form, bitwise, both paths
+    ones = jnp.where(skey < sentinel, 1.0, 0.0)
+    for use_pallas in (True, False):
+        v3, n3 = sorted_run_reduce(
+            skey, offs, sentinel, cap, group=8,
+            use_pallas=use_pallas, interpret=use_pallas,
+        )
+        v1, n1 = sorted_run_reduce(
+            skey, (offs[0], offs[1], offs[2], ones), sentinel, cap, group=8,
+            use_pallas=use_pallas, interpret=use_pallas,
+        )
+        m3 = np.arange(cap) < int(n3)
+        np.testing.assert_array_equal(np.asarray(v3)[m3], np.asarray(v1)[m3])
+        assert int(n3) == int(n1)
+
+    # (b) arbitrary counts: single 4-buffer pass == two-pass construction
+    vk, nk = sorted_run_reduce(
+        skey, bufs4, sentinel, cap, group=8, use_pallas=True, interpret=True,
+    )
+    vf, nf = sorted_run_reduce(
+        skey, bufs4, sentinel, cap, group=8, use_pallas=False,
+    )
+    mk = np.arange(cap) < int(nk)
+    np.testing.assert_array_equal(np.asarray(vk)[mk], np.asarray(vf)[mk])  # (c)
+    assert int(nk) == int(nf)
+    v_sums, _ = sorted_run_reduce(
+        skey, offs, sentinel, cap, group=8, use_pallas=False
+    )
+    v_cnts, _ = sorted_run_reduce(
+        skey, (counts, counts, counts), sentinel, cap, group=8, use_pallas=False
+    )
+    m = np.arange(cap) < int(nf)
+    np.testing.assert_array_equal(
+        np.asarray(vk)[m, :4], np.asarray(v_sums)[m, :4]  # key + 3 sums
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vk)[m, 4], np.asarray(v_cnts)[m, 1]  # counts channel
+    )
+
+    # vmap with counts routes onto the generic kernel and stays equal to
+    # per-row fallback runs
+    kb = jnp.stack([skey, skey])
+    bb = tuple(jnp.stack([b, b]) for b in bufs4)
+    vb, nb = jax.vmap(
+        lambda k, a, b, c, d: sorted_run_reduce(
+            k, (a, b, c, d), sentinel, cap, group=8,
+            use_pallas=True, interpret=True,
+        )
+    )(kb, *bb)
+    np.testing.assert_array_equal(np.asarray(vb[0])[mk], np.asarray(vk)[mk])
+    assert int(nb[0]) == int(nk)
