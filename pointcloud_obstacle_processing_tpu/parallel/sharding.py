@@ -101,6 +101,142 @@ def data_parallel_pipeline(config: PipelineConfig, mesh: Mesh, data_axis: str = 
     return jax.jit(fn)
 
 
+def _distributed_merge(
+    parts, config: PipelineConfig, axis_name: str, num_shards: int
+):
+    """Key-range distributed merge of the per-shard voxel partial tables.
+
+    The replicated sort merge is the SP window's dominant term (~8.5 ms
+    at the fullscale gather, scripts/tpu_experiments66.py / the
+    PERFORMANCE.md projection table).  This distributes it: shard s owns
+    packed-key range [s*K/S, (s+1)*K/S).  Each shard's partial table is
+    ALREADY ascending in lattice key (every voxel_partials engine emits
+    that order), so range splits are ``searchsorted`` boundaries; an
+    ``all_to_all`` of fixed-capacity range chunks routes every row to its
+    owner, which sorts + run-reduces its range locally (S*chunk rows ~
+    2*max_voxels), and one ``all_gather`` of the per-range merged tables
+    re-assembles the full voxel cloud replicated on every shard — in
+    ascending lattice order, because ranges are written back in key
+    order at exclusive offsets (ascending sequential-overwrite, the
+    compaction kernels' idiom in XLA form).
+
+    Capacities: each (shard, range) chunk is ``2*max_voxels/S`` rows and
+    each range's merged output ``2*max_voxels/S`` voxels (the arena
+    spreads keys near-uniformly over x-slabs, so real occupancy is far
+    below both); a chunk or range overflow raises the returned flag —
+    observable truncation like every other capacity knob.
+
+    Values: the per-range sort+reduce runs the same machinery as the
+    replicated merge over the same runs — keys, counts and num_voxels
+    are exact matches; f32 coordinate sums re-associate (different
+    window boundaries and duplicate-key payload order), the same class
+    of deviation the SP path already carries vs single-chip.
+    """
+    from ..ops.pallas_runreduce import sorted_run_reduce
+    from ..ops.voxel import _I32_MAX, _pack_spec, VoxelPartials
+
+    S = num_shards
+    cap = config.max_voxels
+    leaf = config.downsample_leaf_size
+    bounds = (
+        (config.x_min, config.y_min, config.z_min),
+        (config.x_max, config.y_max, config.z_max),
+    )
+    spec = _pack_spec(bounds, leaf)
+    imin, dims = spec
+    K = dims[0] * dims[1] * dims[2]
+    kstep = -(-K // S)
+    chunk_cap = max(128, (2 * cap // S) // 128 * 128)
+    range_cap = chunk_cap
+
+    real = parts.counts > 0.0
+    kx = jnp.clip(parts.keys[:, 0] - imin[0], 0, dims[0] - 1)
+    ky = jnp.clip(parts.keys[:, 1] - imin[1], 0, dims[1] - 1)
+    kz = jnp.clip(parts.keys[:, 2] - imin[2], 0, dims[2] - 1)
+    packed = jnp.where(real, (kx * dims[1] + ky) * dims[2] + kz, K)
+
+    # boundaries clamped to K: kstep rounds up, so S*kstep can exceed K —
+    # unclamped, the last range would swallow every SENTINEL row (packed
+    # == K) and spuriously overflow its chunk
+    bkeys = [min(r * kstep, K) for r in range(S + 1)]
+    b = jnp.searchsorted(packed, jnp.asarray(bkeys, jnp.int32))
+    chunk_overflow = jnp.any((b[1:] - b[:-1]) > chunk_cap)
+
+    payloads = (
+        packed,
+        parts.sums[:, 0],
+        parts.sums[:, 1],
+        parts.sums[:, 2],
+        parts.counts,
+    )
+
+    def build_chunk(r):
+        start = jnp.minimum(b[r], cap - chunk_cap)
+        rows = [
+            lax.dynamic_slice_in_dim(a, start, chunk_cap) for a in payloads
+        ]
+        in_range = (rows[0] >= bkeys[r]) & (rows[0] < bkeys[r + 1])
+        rows[0] = jnp.where(in_range, rows[0], K)
+        rows[1:] = [jnp.where(in_range, a, 0.0) for a in rows[1:]]
+        return rows
+
+    chunks = [build_chunk(r) for r in range(S)]
+    send = [
+        jnp.stack([chunks[r][c] for r in range(S)]) for c in range(5)
+    ]  # five [S, chunk_cap] arrays, row r bound for shard r
+    recv = [
+        lax.all_to_all(a, axis_name, split_axis=0, concat_axis=0, tiled=False)
+        for a in send
+    ]  # [S, chunk_cap]: every shard's chunk for MY range
+
+    flat = [a.reshape(S * chunk_cap) for a in recv]
+    sk, sx, sy, sz, sc = lax.sort(tuple(flat), num_keys=1, is_stable=False)
+    vals_r, num_r = sorted_run_reduce(sk, (sx, sy, sz, sc), K, range_cap)
+    range_overflow = num_r > range_cap
+
+    vals_all = lax.all_gather(vals_r, axis_name)  # [S, range_cap, 5]
+    num_all = jnp.minimum(lax.all_gather(num_r, axis_name), range_cap)  # [S]
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(num_all)]
+    )[:S]
+
+    # ascending-offset write-back: range r's garbage tail (rows >= num_r)
+    # is overwritten by range r+1's rows, which land at exactly
+    # offs[r] + num_all[r] — the sequential-overwrite contract
+    buf = jnp.zeros((cap + range_cap, 5), jnp.float32)
+
+    def body(r, buf):
+        rows = lax.dynamic_slice_in_dim(vals_all, r, 1, axis=0)[0]
+        o = jnp.minimum(offs[r], cap)
+        return lax.dynamic_update_slice(buf, rows, (o, 0))
+
+    buf = lax.fori_loop(0, S, body, buf)
+    num = jnp.sum(num_all)
+
+    sv = lax.optimization_barrier(buf[:cap].T)  # one read of the wide buffer
+    slot = lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    out_valid = slot < jnp.minimum(num, cap)
+    slot_key = jnp.clip(sv[0].astype(jnp.int32), 0, K - 1)
+    lx = slot_key // (dims[1] * dims[2]) + imin[0]
+    lrem = slot_key % (dims[1] * dims[2])
+    ly = lrem // dims[2] + imin[1]
+    lz = lrem % dims[2] + imin[2]
+    key_cols = [jnp.where(out_valid, l, _I32_MAX) for l in (lx, ly, lz)]
+    sum_cols = [jnp.where(out_valid, sv[ch], 0.0) for ch in (1, 2, 3)]
+    overflow = (
+        (num > cap)
+        | (lax.psum(chunk_overflow.astype(jnp.int32), axis_name) > 0)
+        | (lax.psum(range_overflow.astype(jnp.int32), axis_name) > 0)
+    )
+    return VoxelPartials(
+        keys=jnp.stack(key_cols, axis=-1),
+        sums=jnp.stack(sum_cols, axis=-1),
+        counts=jnp.where(out_valid, sv[4], 0.0),
+        num_voxels=jnp.minimum(num, cap),
+        overflow=overflow,
+    )
+
+
 def process_scan_point_sharded(
     cloud_shard: Cloud,
     key: jax.Array,
@@ -109,6 +245,7 @@ def process_scan_point_sharded(
     axis_name: str = "points",
     num_shards: int = 1,
     shard_post_voxel: bool = True,
+    distribute_merge: bool = False,
 ) -> PipelineResult:
     """Pipeline body over a point shard; call inside shard_map.
 
@@ -122,6 +259,12 @@ def process_scan_point_sharded(
     replicated form — see pipeline._post_voxel).  Without it, stages 3-8
     run replicated on every shard (the pre-round-4 behavior: multi-chip
     bought capacity, not speed — VERDICT r3 missing #1).
+
+    ``distribute_merge``: distribute the voxel-table merge by key range
+    too (``_distributed_merge``) — keys/counts/num exact vs the
+    replicated merge, f32 sums re-associate.  Off by default (the
+    replicated merge is the validated-default path); falls back to
+    replicated when the lattice is unpackable or capacities don't tile.
     """
     if config.voxel_order != "lattice":
         # merge_voxel_partials re-orders through the dense packed-key bins,
@@ -173,20 +316,37 @@ def process_scan_point_sharded(
         config.voxel_order,  # 'lattice' (guarded above): shards and merge agree
         config.voxel_payload_packing,  # quantizes shard partials identically
     )
-    merged = merge_voxel_partials(
-        VoxelPartials(
-            keys=lax.all_gather(parts.keys, axis_name, tiled=True),
-            sums=lax.all_gather(parts.sums, axis_name, tiled=True),
-            counts=lax.all_gather(parts.counts, axis_name, tiled=True),
-            num_voxels=parts.num_voxels,  # unused by merge
-            overflow=parts.overflow,  # unused by merge
-        ),
-        config.max_voxels,
-        # bounded keys => sort-free dense-bin merge (no lax.sort on the
-        # multi-chip path; see merge_voxel_partials docstring)
-        bounds=bounds,
-        leaf_size=config.downsample_leaf_size,
-    )
+    use_dist = distribute_merge and num_shards > 1
+    if use_dist:
+        from ..ops.voxel import _pack_spec
+
+        spec = _pack_spec(bounds, config.downsample_leaf_size)
+        use_dist = (
+            spec is not None
+            and spec[1][0] * spec[1][1] * spec[1][2] <= (1 << 23)
+            and config.max_voxels % 128 == 0
+            and (2 * config.max_voxels // num_shards) >= 128
+        )
+    if use_dist:
+        # key-range distributed merge: all_to_all range chunks, per-range
+        # sort+reduce, all_gather of merged range tables (~8.5 -> ~2-3 ms
+        # projected at fullscale; see _distributed_merge)
+        merged = _distributed_merge(parts, config, axis_name, num_shards)
+    else:
+        merged = merge_voxel_partials(
+            VoxelPartials(
+                keys=lax.all_gather(parts.keys, axis_name, tiled=True),
+                sums=lax.all_gather(parts.sums, axis_name, tiled=True),
+                counts=lax.all_gather(parts.counts, axis_name, tiled=True),
+                num_voxels=parts.num_voxels,  # unused by merge
+                overflow=parts.overflow,  # unused by merge
+            ),
+            config.max_voxels,
+            # bounded keys => size-dependent merge engine (see
+            # merge_voxel_partials docstring)
+            bounds=bounds,
+            leaf_size=config.downsample_leaf_size,
+        )
     vox = finalize_voxels(merged)
 
     # ---- stages 3-8 on the merged voxel cloud: the O(N*W) stages (banded
@@ -216,6 +376,7 @@ def dp_sp_pipeline(
     data_axis: str = "data",
     points_axis: str = "points",
     shard_post_voxel: bool = True,
+    distribute_merge: bool = False,
 ):
     """Scans over 'data', each scan's points over 'points' (2-D mesh).
 
@@ -231,6 +392,7 @@ def dp_sp_pipeline(
         return process_scan_point_sharded(
             cloud_shard, k, config, pose, axis_name=points_axis,
             num_shards=n_points_shards, shard_post_voxel=shard_post_voxel,
+            distribute_merge=distribute_merge,
         )
 
     def local(clouds, keys, pose):

@@ -278,3 +278,104 @@ def test_shard_post_voxel_per_shard_work_drops(rng, monkeypatch):
         f"per-shard map lengths: kNN {max(knn_rep)} -> {max(knn_sh)}, "
         f"cluster sweep {max(sweep_rep)} -> {max(sweep_sh)} (8 shards)"
     )
+
+
+def test_distributed_merge_matches_replicated_merge(rng):
+    """The key-range distributed merge (all_to_all range chunks +
+    per-range sort/reduce + gather; round-5 target #1 landed early) must
+    reproduce the replicated merge's table: keys/counts/num EXACT (same
+    runs, integer-valued f32 counts), coordinate sums to f32
+    re-association tolerance."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from pointcloud_obstacle_processing_tpu.ops.voxel import (
+        VoxelPartials,
+        finalize_voxels,
+        merge_voxel_partials,
+        voxel_partials,
+    )
+    from pointcloud_obstacle_processing_tpu.parallel.sharding import (
+        _distributed_merge,
+    )
+
+    # max_voxels roomy enough that the scene's ~2.8k distinct voxels
+    # don't overflow the table (overflow semantics are covered separately)
+    cfg = SHARD_CFG.replace(max_voxels=4096)
+    bounds = ((cfg.x_min, cfg.y_min, cfg.z_min), (cfg.x_max, cfg.y_max, cfg.z_max))
+    mesh = make_mesh({"points": 8})
+    clouds = _batch(1, seed0=6)
+    pts = clouds.points[0].reshape(8, cfg.max_points // 8, 3)
+    valid = clouds.valid[0].reshape(8, cfg.max_points // 8)
+
+    def local_parts(p, v):
+        return voxel_partials(
+            Cloud(points=p, valid=v), cfg.downsample_leaf_size,
+            cfg.max_voxels, bounds,
+        )
+
+    def body(p, v):
+        parts = local_parts(p[0], v[0])
+        return _distributed_merge(parts, cfg, "points", 8)
+
+    dist = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("points"), P("points")),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(pts, valid)
+
+    sp = jax.jit(jax.vmap(local_parts))(pts, valid)
+    gathered = VoxelPartials(
+        keys=np.asarray(sp.keys).reshape(-1, 3),
+        sums=np.asarray(sp.sums).reshape(-1, 3),
+        counts=np.asarray(sp.counts).reshape(-1),
+        num_voxels=sp.num_voxels[0],
+        overflow=sp.overflow[0],
+    )
+    rep = merge_voxel_partials(
+        gathered, cfg.max_voxels, bounds=bounds,
+        leaf_size=cfg.downsample_leaf_size,
+    )
+
+    assert int(dist.num_voxels) == int(rep.num_voxels)
+    assert not bool(dist.overflow)
+    n = int(rep.num_voxels)
+    np.testing.assert_array_equal(
+        np.asarray(dist.keys)[:n], np.asarray(rep.keys)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dist.counts)[:n], np.asarray(rep.counts)[:n]
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.sums)[:n], np.asarray(rep.sums)[:n], rtol=1e-5, atol=1e-5
+    )
+    # and the finalized centroid clouds agree
+    fd = finalize_voxels(dist)
+    fr = finalize_voxels(rep)
+    np.testing.assert_allclose(
+        np.asarray(fd.cloud.points)[:n], np.asarray(fr.cloud.points)[:n],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_dp_sp_pipeline_with_distributed_merge(rng):
+    """End-to-end SP with distribute_merge=True stays inside the SP
+    disagreement bounds vs the replicated-merge SP run (structural
+    outputs exact; isolated grid cells may flip with f32 sum
+    re-association, like the existing shard-count scaling contract)."""
+    mesh = make_mesh({"data": 1, "points": 8})
+    clouds = _batch(1, seed0=7)
+    keys = jax.random.split(jax.random.PRNGKey(9), 1)
+    cfg = SHARD_CFG.replace(max_voxels=4096)  # scene fits: no voxel overflow
+    rep = dp_sp_pipeline(cfg, mesh)(clouds, keys)
+    dm = dp_sp_pipeline(cfg, mesh, distribute_merge=True)(clouds, keys)
+    assert int(dm.stats.voxel_points[0]) == int(rep.stats.voxel_points[0])
+    assert not bool(dm.stats.voxel_overflow[0])
+    assert int(dm.clusters.num_clusters[0]) == int(rep.clusters.num_clusters[0])
+    frac = float(
+        np.mean(np.asarray(dm.grid.data[0]) != np.asarray(rep.grid.data[0]))
+    )
+    assert frac < 0.01, frac
