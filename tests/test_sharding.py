@@ -379,3 +379,23 @@ def test_dp_sp_pipeline_with_distributed_merge(rng):
         np.mean(np.asarray(dm.grid.data[0]) != np.asarray(rep.grid.data[0]))
     )
     assert frac < 0.01, frac
+
+
+def test_dp_sp_2x4_with_distributed_merge(rng):
+    """distribute_merge on the 2-D (data x points) mesh: the all_to_all /
+    all_gather collectives run under the local-batch vmap — the layout a
+    v5e-8 serving both axes uses."""
+    mesh = make_mesh({"data": 2, "points": 4})
+    clouds = _batch(2, seed0=13)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2)
+    cfg = SHARD_CFG.replace(max_voxels=4096)
+    rep = dp_sp_pipeline(cfg, mesh)(clouds, keys)
+    dm = dp_sp_pipeline(cfg, mesh, distribute_merge=True)(clouds, keys)
+    for i in range(2):
+        assert int(dm.stats.voxel_points[i]) == int(rep.stats.voxel_points[i])
+        assert not bool(dm.stats.voxel_overflow[i])
+        assert int(dm.clusters.num_clusters[i]) == int(rep.clusters.num_clusters[i])
+        frac = float(
+            np.mean(np.asarray(dm.grid.data[i]) != np.asarray(rep.grid.data[i]))
+        )
+        assert frac < 0.01, (i, frac)
