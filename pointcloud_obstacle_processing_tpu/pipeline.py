@@ -141,6 +141,12 @@ def _post_voxel(
     backend = config.knn_backend
     if backend in ("banded", "banded_approx") and not config.downsample_input_data:
         backend = "approx"
+    # The dead-tile lax.cond skip is for single UNBATCHED programs only:
+    # dp_sp_pipeline vmaps the per-shard body (even at local batch 1),
+    # where the batched cond lowers to a both-branches select — the
+    # measured 2x hazard (config.knn_skip_dead_tiles notes).  Skipping is
+    # output-identical by design, so forcing it off on the sharded path
+    # changes nothing but the work.
     outl = remove_statistical_outliers(
         voxel_cloud,
         config.statistical_outlier_mean_k,
@@ -148,7 +154,7 @@ def _post_voxel(
         backend=backend,
         band=config.knn_band,
         row_tile=config.knn_row_tile,
-        skip_dead_tiles=config.knn_skip_dead_tiles,
+        skip_dead_tiles=config.knn_skip_dead_tiles and shard_axis is None,
         shard_axis=shard_axis,
         num_shards=num_shards,
     )
