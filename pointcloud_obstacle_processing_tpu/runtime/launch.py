@@ -21,7 +21,7 @@ from ..config import PipelineConfig, REFERENCE_YAML_CONFIG, config_from_yaml
 from ..runtime.bus import MessageBus
 from ..runtime.driver import POINT_TOPIC, ObstacleDetectionNode
 from ..runtime.msgs import PointCloud2Msg
-from ..runtime.tf import TransformBuffer
+from ..runtime.tf import TransformBuffer, attach_tf_listener
 from ..utils.scene import SceneSpec, make_scene
 
 __all__ = ["launch", "SyntheticKinect"]
@@ -91,6 +91,11 @@ def launch(
 
     bus = MessageBus(immediate=True)
     tf = TransformBuffer()
+    # the listener feeds the buffer from the bus's tf/tf_static topics — so
+    # transforms published in-process OR bridged from a remote BusServer
+    # (connect_bus) reach the stamped history, exactly like the reference's
+    # tf2 listener subscribing the ROS tf bus (cpp:124-125, :938)
+    attach_tf_listener(bus, tf)
     tf.set_static("world", "kinect2_link", DEFAULT_SENSOR_QUAT, DEFAULT_SENSOR_POS)
 
     node = ObstacleDetectionNode(

@@ -24,6 +24,7 @@ no pickle on the wire.
 
 from __future__ import annotations
 
+import collections
 import logging
 import queue
 import socket
@@ -32,7 +33,12 @@ import threading
 from typing import Iterable
 
 from .bus import MessageBus
-from .msgs import OccupancyGridMsg, PointCloud2Msg, PointIndicesArrayMsg
+from .msgs import (
+    OccupancyGridMsg,
+    PointCloud2Msg,
+    PointIndicesArrayMsg,
+    TransformStampedMsg,
+)
 
 __all__ = ["BusServer", "ConnectionStats", "connect_bus", "FRAME_MAGIC"]
 
@@ -47,6 +53,7 @@ _TYPES = {
     1: PointCloud2Msg,
     2: OccupancyGridMsg,
     3: PointIndicesArrayMsg,
+    4: TransformStampedMsg,
 }
 _TYPE_IDS = {cls: tid for tid, cls in _TYPES.items()}
 
@@ -118,6 +125,11 @@ class BusServer:
     drop counters; an abnormal disconnect logs a warning.
     """
 
+    # closed-connection stats retained for observability (bounded: a
+    # long-running node with reconnecting subscribers must not grow the
+    # list without bound — ADVICE r4 #3)
+    MAX_CLOSED_STATS = 64
+
     def __init__(self, bus: MessageBus, topics: Iterable[str],
                  host: str = "127.0.0.1", port: int = 0, queue_size: int = 10):
         self.bus = bus
@@ -127,15 +139,19 @@ class BusServer:
         self.address = self._srv.getsockname()
         self._stop = threading.Event()
         self._clients: list = []
-        self._stats: list[ConnectionStats] = []
+        self._stats: list[ConnectionStats] = []  # live connections
+        self._closed_stats: collections.deque = collections.deque(
+            maxlen=self.MAX_CLOSED_STATS
+        )
         self._stats_lock = threading.Lock()
         self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
         self._accept_thread.start()
 
     def connection_stats(self) -> list[dict]:
-        """Snapshot of every connection's counters (incl. closed ones)."""
+        """Snapshot of every connection's counters: the most recent
+        ``MAX_CLOSED_STATS`` closed connections, then the live ones."""
         with self._stats_lock:
-            return [s.as_dict() for s in self._stats]
+            return [s.as_dict() for s in (*self._closed_stats, *self._stats)]
 
     # ---------------------------------------------------------------- accept
     def _accept_loop(self) -> None:
@@ -207,6 +223,16 @@ class BusServer:
                 )
         finally:
             stats.disconnected = True
+            with self._stats_lock:
+                try:
+                    self._stats.remove(stats)
+                except ValueError:
+                    pass
+                self._closed_stats.append(stats)
+            try:
+                self._clients.remove(conn)
+            except ValueError:
+                pass
             try:
                 conn.close()
             except OSError:
