@@ -49,6 +49,7 @@ __all__ = [
     "voxel_downsample",
     "voxel_partials",
     "merge_voxel_partials",
+    "merge_voxel_partials_packed",
     "VoxelResult",
     "VoxelPartials",
 ]
@@ -510,6 +511,128 @@ def voxel_partials(
     return _reduce_sorted_keys(kx, ky, kz, sorted_pts, sv, capacity)
 
 
+def _pack_keys(keys, counts, spec):
+    """Pack [cap, 3] (ix, iy, iz) partial-table keys into one int32 lattice
+    key under ``spec = (imin, dims)``.  Real rows (counts > 0) map to
+    ``(kx*dy + ky)*dz + kz`` after the imin shift + clip (a no-op for
+    in-bounds keys); empty slots map to the sentinel ``K``."""
+    imin, dims = spec
+    K = dims[0] * dims[1] * dims[2]
+    real = counts > 0.0
+    kx = jnp.clip(keys[:, 0] - imin[0], 0, dims[0] - 1)
+    ky = jnp.clip(keys[:, 1] - imin[1], 0, dims[1] - 1)
+    kz = jnp.clip(keys[:, 2] - imin[2], 0, dims[2] - 1)
+    return jnp.where(real, (kx * dims[1] + ky) * dims[2] + kz, K)
+
+
+def _unpack_keys(packed, spec):
+    """Packed lattice key (clipped to [0, K)) -> (lx, ly, lz) absolute
+    lattice coordinates."""
+    imin, dims = spec
+    lx = packed // (dims[1] * dims[2]) + imin[0]
+    lrem = packed % (dims[1] * dims[2])
+    ly = lrem // dims[2] + imin[1]
+    lz = lrem % dims[2] + imin[2]
+    return lx, ly, lz
+
+
+def merge_voxel_partials_packed(
+    packed, sums, counts, capacity: int, spec, leaf_size: float,
+) -> VoxelPartials:
+    """Merge concatenated partial tables keyed by PACKED int32 lattice keys.
+
+    The point-sharded gather path packs each shard's keys locally
+    (``_pack_keys``) BEFORE the all_gather, so the collective moves one
+    int32 key + three f32 sums + one f32 count = 20 B/row instead of the
+    28 B/row (ix, iy, iz)-triple form — ~30% less ICI traffic on the SP
+    merge path (VERDICT r4 next #3) — and enters here.  Bitwise identical
+    to ``merge_voxel_partials`` over the equivalent triple table: packing
+    commutes with gathering (the same per-row integer math runs either
+    side of the collective), and the dense path's voxel-corner derivation
+    from the packed key reproduces the clipped key exactly for real rows.
+
+    Engine choice by table size (measured rationale in the
+    ``merge_voxel_partials`` docstring): large tables sort on the packed
+    key + run-reduce; small tables dense-scatter into [K, 4] bins.
+    """
+    imin, dims = spec
+    K = dims[0] * dims[1] * dims[2]
+    real = counts > 0.0
+    rows = packed.shape[0]
+    if rows >= _SORT_MERGE_MIN_ROWS and rows % 128 == 0:
+        # Large gathered tables (the fullscale SP path: 8 shards x
+        # 262144 rows): the dense-bin scatter-add below serializes at
+        # ~20 cycles/row — measured 93.8 ms/merge on v5e vs 12.9 for a
+        # packed 1-key stable sort + the run-reduce machinery
+        # (scripts/tpu_experiments66.py; the r2 "sort is 27 ms-class"
+        # datum that motivated the scatter was overturned by the
+        # sort-engine work — a 2M-row multi-operand sort is ~4.5 ms).
+        # Counts ride the run-reduce's COUNT CHANNEL as a 4th value
+        # buffer (integer-valued f32 < 2^24 — segmented sums exact in
+        # any order), so one reduce pass covers all four channels.
+        # Emits ascending lattice order like the dense path; f32
+        # coordinate sums are FULL precision here (the dense path's
+        # fast mode quantizes corner-relative updates to bf16 terms).
+        from .pallas_runreduce import sorted_run_reduce
+
+        sk, sx, sy, sz, scnt = lax.sort(
+            (
+                packed,
+                sums[:, 0],
+                sums[:, 1],
+                sums[:, 2],
+                counts,
+            ),
+            num_keys=1,
+            # stable: duplicate keys are the whole point of a merge —
+            # an unstable sort would make the payload permutation (and
+            # hence the f32 sum association) backend-dependent (ADVICE
+            # r4 #2).  Multi-operand stable sorts are near-free on TPU
+            # (CLAUDE.md measured facts).
+            is_stable=True,
+        )
+        vals, num = sorted_run_reduce(sk, (sx, sy, sz, scnt), K, capacity)
+        sv = lax.optimization_barrier(vals.T)  # one read of the wide buffer
+        slot = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+        out_valid = slot < jnp.minimum(num, capacity)
+        slot_key = jnp.clip(sv[0].astype(jnp.int32), 0, K - 1)
+        lx, ly, lz = _unpack_keys(slot_key, spec)
+        key_cols = [jnp.where(out_valid, l, _I32_MAX) for l in (lx, ly, lz)]
+        sum_cols = [jnp.where(out_valid, sv[ch], 0.0) for ch in (1, 2, 3)]
+        return VoxelPartials(
+            keys=jnp.stack(key_cols, axis=-1),
+            sums=jnp.stack(sum_cols, axis=-1),
+            counts=jnp.where(out_valid, sv[4], 0.0),
+            num_voxels=num,
+            overflow=num > capacity,
+        )
+    # corner-relative partial sums: keeps the fused value gather's bf16
+    # split error proportional to count*leaf rather than |coordinate|.
+    # The corner derives from the packed key (identical integers to the
+    # clipped triple keys for real rows; empty rows are masked below).
+    lx, ly, lz = _unpack_keys(jnp.clip(packed, 0, K - 1), spec)
+    corner = (
+        jnp.stack([lx, ly, lz], axis=-1).astype(jnp.float32)
+        * jnp.float32(leaf_size)
+    )
+    rel = sums - corner * counts[:, None]
+    upd = jnp.concatenate(
+        [
+            jnp.where(real[:, None], rel, 0.0),
+            jnp.where(real, counts, 0.0)[:, None],
+        ],
+        axis=-1,
+    )
+    kp = -(-K // 128) * 128
+    bins = jnp.zeros((kp, 4), jnp.float32).at[packed].add(
+        upd, mode="drop"
+    ).T  # -> channel-leading [4, Kp]
+    occ2d = (bins[3] > 0.0).reshape(kp // 128, 128)
+    return _dense_bins_to_partials(
+        bins, occ2d, dims, imin, capacity, leaf_size, corner_relative=True,
+    )
+
+
 def merge_voxel_partials(
     partials: VoxelPartials, capacity: int, bounds=None, leaf_size: float | None = None,
 ) -> VoxelPartials:
@@ -527,81 +650,15 @@ def merge_voxel_partials(
       stream compaction (~3 ms at 8 shards x 16k rows; the scatter
       serializes ~20 cycles/row, which is why large tables sort).
 
-    Without bounds, the 3-key sort fallback handles unbounded keys.
+    Both run through :func:`merge_voxel_partials_packed` after packing the
+    triple keys.  Without bounds, the 3-key sort fallback handles
+    unbounded keys.
     """
     spec = _pack_spec(bounds, leaf_size) if leaf_size is not None else None
     if spec is not None and spec[1][0] * spec[1][1] * spec[1][2] <= (1 << 23):
-        imin, dims = spec
-        K = dims[0] * dims[1] * dims[2]
-        real = partials.counts > 0.0
-        kx = jnp.clip(partials.keys[:, 0] - imin[0], 0, dims[0] - 1)
-        ky = jnp.clip(partials.keys[:, 1] - imin[1], 0, dims[1] - 1)
-        kz = jnp.clip(partials.keys[:, 2] - imin[2], 0, dims[2] - 1)
-        packed = jnp.where(real, (kx * dims[1] + ky) * dims[2] + kz, K)
-        rows = packed.shape[0]
-        if rows >= _SORT_MERGE_MIN_ROWS and rows % 128 == 0:
-            # Large gathered tables (the fullscale SP path: 8 shards x
-            # 262144 rows): the dense-bin scatter-add below serializes at
-            # ~20 cycles/row — measured 93.8 ms/merge on v5e vs 12.9 for a
-            # packed 1-key stable sort + the run-reduce machinery
-            # (scripts/tpu_experiments66.py; the r2 "sort is 27 ms-class"
-            # datum that motivated the scatter was overturned by the
-            # sort-engine work — a 2M-row multi-operand sort is ~4.5 ms).
-            # Counts ride the run-reduce's COUNT CHANNEL as a 4th value
-            # buffer (integer-valued f32 < 2^24 — segmented sums exact in
-            # any order), so one reduce pass covers all four channels.
-            # Emits ascending lattice order like the dense path; f32
-            # coordinate sums are FULL precision here (the dense path's
-            # fast mode quantizes corner-relative updates to bf16 terms).
-            from .pallas_runreduce import sorted_run_reduce
-
-            sk, sx, sy, sz, scnt = lax.sort(
-                (
-                    packed,
-                    partials.sums[:, 0],
-                    partials.sums[:, 1],
-                    partials.sums[:, 2],
-                    partials.counts,
-                ),
-                num_keys=1,
-                is_stable=False,
-            )
-            vals, num = sorted_run_reduce(sk, (sx, sy, sz, scnt), K, capacity)
-            sv = lax.optimization_barrier(vals.T)  # one read of the wide buffer
-            slot = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
-            out_valid = slot < jnp.minimum(num, capacity)
-            slot_key = jnp.clip(sv[0].astype(jnp.int32), 0, K - 1)
-            lx = slot_key // (dims[1] * dims[2]) + imin[0]
-            lrem = slot_key % (dims[1] * dims[2])
-            ly = lrem // dims[2] + imin[1]
-            lz = lrem % dims[2] + imin[2]
-            key_cols = [jnp.where(out_valid, l, _I32_MAX) for l in (lx, ly, lz)]
-            sum_cols = [jnp.where(out_valid, sv[ch], 0.0) for ch in (1, 2, 3)]
-            return VoxelPartials(
-                keys=jnp.stack(key_cols, axis=-1),
-                sums=jnp.stack(sum_cols, axis=-1),
-                counts=jnp.where(out_valid, sv[4], 0.0),
-                num_voxels=num,
-                overflow=num > capacity,
-            )
-        # corner-relative partial sums: keeps the fused value gather's bf16
-        # split error proportional to count*leaf rather than |coordinate|
-        corner = partials.keys.astype(jnp.float32) * jnp.float32(leaf_size)
-        rel = partials.sums - corner * partials.counts[:, None]
-        upd = jnp.concatenate(
-            [
-                jnp.where(real[:, None], rel, 0.0),
-                jnp.where(real, partials.counts, 0.0)[:, None],
-            ],
-            axis=-1,
-        )
-        kp = -(-K // 128) * 128
-        bins = jnp.zeros((kp, 4), jnp.float32).at[packed].add(
-            upd, mode="drop"
-        ).T  # -> channel-leading [4, Kp]
-        occ2d = (bins[3] > 0.0).reshape(kp // 128, 128)
-        return _dense_bins_to_partials(
-            bins, occ2d, dims, imin, capacity, leaf_size, corner_relative=True,
+        packed = _pack_keys(partials.keys, partials.counts, spec)
+        return merge_voxel_partials_packed(
+            packed, partials.sums, partials.counts, capacity, spec, leaf_size
         )
 
     kx, ky, kz, sx, sy, sz, cnt = lax.sort(

@@ -119,6 +119,7 @@ def _post_voxel(
     voxel_overflow: jax.Array | None = None,
     shard_axis: str | None = None,
     num_shards: int = 1,
+    point_sharded: bool = False,
 ) -> PipelineResult:
     """Stages 3-8, shared between the single-chip path and the point-sharded
     multi-chip path (which voxelizes shards locally, all-gathers the partial
@@ -144,9 +145,12 @@ def _post_voxel(
     # The dead-tile lax.cond skip is for single UNBATCHED programs only:
     # dp_sp_pipeline vmaps the per-shard body (even at local batch 1),
     # where the batched cond lowers to a both-branches select — the
-    # measured 2x hazard (config.knn_skip_dead_tiles notes).  Skipping is
-    # output-identical by design, so forcing it off on the sharded path
-    # changes nothing but the work.
+    # measured 2x hazard (config.knn_skip_dead_tiles notes).  That vmap
+    # wraps the WHOLE point-sharded body, so the skip must stay off on
+    # that path even when shard_post_voxel=False leaves shard_axis=None
+    # (ADVICE r4 #4 — ``point_sharded`` covers both postures).  Skipping
+    # is output-identical by design, so forcing it off changes nothing
+    # but the work.
     outl = remove_statistical_outliers(
         voxel_cloud,
         config.statistical_outlier_mean_k,
@@ -154,7 +158,9 @@ def _post_voxel(
         backend=backend,
         band=config.knn_band,
         row_tile=config.knn_row_tile,
-        skip_dead_tiles=config.knn_skip_dead_tiles and shard_axis is None,
+        skip_dead_tiles=config.knn_skip_dead_tiles
+        and shard_axis is None
+        and not point_sharded,
         shard_axis=shard_axis,
         num_shards=num_shards,
     )
