@@ -83,7 +83,10 @@ def _stage_marginal(fn, cloud, *rest, iters=3):
 
     t1 = _timed(chain(1), cloud, *rest, iters=iters)
     t4 = _timed(chain(4), cloud, *rest, iters=iters)
-    return max((t4 - t1) / 3.0, 1e-7)
+    # raw marginal: may be <= 0 when the stage cost is below tunnel jitter.
+    # Callers must report that case as below-noise, NOT as zero cost
+    # (VERDICT r4 weak #3).
+    return (t4 - t1) / 3.0
 
 
 def main():
@@ -279,16 +282,21 @@ def main():
         return jnp.sum(r.clusters.sizes)
 
     timer = StageTimer()
-    t_crop = _stage_marginal(s_crop, clouds) / B
-    t_vox = _stage_marginal(s_vox, seeded.cloud) / B
-    t_out = _stage_marginal(s_out, vox.cloud) / B
-    t_seg = _stage_marginal(s_seg, outl.cloud, keys) / B
-    t_clus = _stage_marginal(s_clus, comp.cloud) / B
-    timer.record("occupancy grid creation", t_crop)
-    timer.record("downsampling", t_vox)
-    timer.record("statistical outlier removal", t_out)
-    timer.record("plane segmentation", t_seg)
-    timer.record("euclidian clustering", t_clus)
+
+    def rec(name, marginal):
+        """Record a per-scan stage marginal; a non-positive marginal is
+        below the tunnel-noise floor — record as clamped so the table
+        prints '<noise' rather than 0.000000 (VERDICT r4 weak #3)."""
+        timer.record(name, max(marginal, 0.0) / B, clamped=marginal <= 0.0)
+        return max(marginal, 1e-7) / B
+
+    t_crop = rec("occupancy grid creation", _stage_marginal(s_crop, clouds))
+    t_vox = rec("downsampling", _stage_marginal(s_vox, seeded.cloud))
+    t_out = rec(
+        "statistical outlier removal", _stage_marginal(s_out, vox.cloud)
+    )
+    t_seg = rec("plane segmentation", _stage_marginal(s_seg, outl.cloud, keys))
+    t_clus = rec("euclidian clustering", _stage_marginal(s_clus, comp.cloud))
     log(timer.table())
 
     # BASELINE.json config throughputs (#1 crop+voxel, #2 ransac+outlier,
@@ -460,30 +468,49 @@ def main():
         for _ in range(2 * 17):  # two warmup windows incl. compile
             kin.emit_frame()
         node.flush()
+        n_warm = len(node.metrics)
         t0 = time.perf_counter()
         for _ in range(cyc * 17):
             kin.emit_frame()
         node.flush()
         wall = time.perf_counter() - t0
-        return cyc / wall, cyc * 16 / wall, wall / cyc
+        # transfer decomposition (VERDICT r4 weak #2): bytes this node
+        # actually moved per cycle, so a windows/s movement attributes
+        # itself — if bytes/cycle is flat and MB/s fell, it was the
+        # tunnel; if bytes/cycle grew, it was the node.
+        measured = node.metrics[n_warm:] or node.metrics
+        up = sum(m["upload_bytes"] for m in measured) / len(measured)
+        fet = sum(m["fetch_bytes"] for m in measured) / len(measured)
+        return cyc / wall, cyc * 16 / wall, wall / cyc, up, fet
 
-    windows_per_s, frames_s, cycle_s = node_cycle_rate(False)
+    windows_per_s, frames_s, cycle_s, up_b, fet_b = node_cycle_rate(False)
+    eff_mbps = (up_b + fet_b) / 1e6 / cycle_s
     log(
         f"node end-to-end (production posture, debug clouds off): "
         f"{windows_per_s:.2f} windows/s "
         f"({frames_s:.0f} frames/s; {cycle_s*1e3:.1f} ms/cycle "
         f"accumulate->publish — tunnel upload/fetch bound, "
-        f"~{1e3*cycle_s - t_single_device*1e3:.0f} ms of it is transfer/RPC)"
+        f"~{1e3*cycle_s - t_single_device*1e3:.0f} ms of it is transfer/RPC; "
+        f"moved {up_b/1e6:.2f} MB up + {fet_b/1e6:.3f} MB down per cycle "
+        f"= {eff_mbps:.1f} MB/s effective link rate)"
     )
     baseline_configs["7_node_windows_per_s"] = round(windows_per_s, 2)
     baseline_configs["7_node_frames_per_s"] = round(frames_s, 1)
+    baseline_configs["7_node_upload_mb_per_cycle"] = round(up_b / 1e6, 3)
+    baseline_configs["7_node_fetch_mb_per_cycle"] = round(fet_b / 1e6, 4)
+    baseline_configs["7_node_effective_mb_per_s"] = round(eff_mbps, 2)
 
-    w_dbg, f_dbg, c_dbg = node_cycle_rate(True, cyc=4)
+    w_dbg, f_dbg, c_dbg, up_dbg, fet_dbg = node_cycle_rate(True, cyc=4)
     log(
         f"node end-to-end (debug posture, 5 per-stage clouds fetched + "
-        f"published per cycle): {w_dbg:.2f} windows/s ({c_dbg*1e3:.1f} ms/cycle)"
+        f"published per cycle): {w_dbg:.2f} windows/s ({c_dbg*1e3:.1f} ms/cycle; "
+        f"{up_dbg/1e6:.2f} MB up + {fet_dbg/1e6:.2f} MB down per cycle = "
+        f"{(up_dbg+fet_dbg)/1e6/c_dbg:.1f} MB/s effective)"
     )
     baseline_configs["7b_node_debug_clouds_windows_per_s"] = round(w_dbg, 2)
+    baseline_configs["7b_node_debug_mb_per_cycle"] = round(
+        (up_dbg + fet_dbg) / 1e6, 2
+    )
 
     print(
         json.dumps(
