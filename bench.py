@@ -332,6 +332,43 @@ def main():
         if v.any():
             log(f"WARNING: {flag} on {int(v.sum())}/{B} scans — capacities truncated")
 
+    # speed-of-light check (VERDICT r4 next #4): the measured per-scan
+    # stage marginals against the VPU/MXU/HBM lower-bound model
+    # (utils/bounds.py; the consolidated fullscale table lives in
+    # docs/PERFORMANCE.md via scripts/speed_of_light.py).  A stage whose
+    # fraction-of-bound grows round-over-round has drifted off its floor.
+    from pointcloud_obstacle_processing_tpu.utils.bounds import (
+        LATENCY_CLASS,
+        stage_bounds,
+    )
+
+    s0 = result.stats
+    sb = stage_bounds(
+        cfg,
+        int(np.asarray(s0.accumulated_points)[0]),
+        int(np.asarray(s0.voxel_points)[0]),
+        int(np.asarray(s0.nonplane_points)[0]),
+    )
+    achieved = {
+        "crop+seed": t_crop, "voxel": t_vox, "outlier": t_out,
+        "ransac": t_seg, "cluster": t_clus,
+    }
+    fracs = {
+        k: achieved[k] / sb[k][0] for k in achieved if sb[k][0] > 0
+    }
+    worst = max(
+        (k for k in fracs if k not in LATENCY_CLASS), key=fracs.get
+    )
+    log(
+        "speed-of-light (flagship, per scan): "
+        + ", ".join(
+            f"{k} {achieved[k]*1e3:.3f} ms vs {sb[k][0]*1e3:.3f} bound "
+            f"({sb[k][1]}, {fracs[k]:.1f}x)"
+            for k in achieved
+        )
+        + f" — worst stage vs bound: {worst} at {fracs[worst]:.1f}x"
+    )
+
     # Latency attribution (VERDICT r3 weak #1): the RPC-inclusive p50 is
     # device p50 + one dispatch+fetch round trip through the axon tunnel.
     # Reporting the decomposition makes round-over-round movement
@@ -530,6 +567,10 @@ def main():
                 # which marginals needed a tunnel-hiccup retry (ADVICE r2:
                 # records that a number came from a remeasurement)
                 "remeasured": remeasured,
+                "worst_stage_vs_bound": {
+                    "stage": worst,
+                    "x_of_bound": round(fracs[worst], 1),
+                },
                 "configs": baseline_configs,
             }
         )
