@@ -114,6 +114,8 @@ def test_publish_point_clouds_surface(result):
     assert n_plane > 0
 
 
+@pytest.mark.slow  # ~110 s; the per-round driver dryrun (mesh 1) asserts
+# the same batched-equals-single contract on every round's artifact
 def test_vmap_equivalence(scene):
     """Batched pipeline == per-scan loop (SURVEY.md §4)."""
     cfg = CFG.replace(max_points=16384, max_voxels=4096, cluster_capacity=1024)

@@ -36,6 +36,8 @@ def _batch(bs, seed0=0):
     return Cloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
 
 
+@pytest.mark.slow  # ~150 s; dryrun_multichip mesh 1 asserts pure-DP
+# bit-equality vs single device on every round's MULTICHIP artifact
 def test_data_parallel_matches_single(rng):
     assert len(jax.devices()) == 8
     mesh = make_mesh({"data": 8})
@@ -82,6 +84,8 @@ def test_point_sharded_matches_single(rng):
     np.testing.assert_allclose(got_c, want_c, atol=5e-2)
 
 
+@pytest.mark.slow  # ~110 s; the 2x4 mesh stays covered per-commit by the
+# bitwise post-voxel and distributed-merge 2x4 tests below (~60 s each)
 def test_dp_sp_2x4(rng):
     mesh = make_mesh({"data": 2, "points": 4})
     clouds = _batch(2, seed0=5)
@@ -145,6 +149,9 @@ def test_point_sharded_fullscale_window(rng):
     assert frac < 0.01
 
 
+@pytest.mark.slow  # ~160 s (three mesh compiles); the single-shard-count
+# SP-vs-single contract stays in the not-slow set via
+# test_point_sharded_matches_single
 def test_point_shard_count_disagreement_scaling(rng):
     """Quantify float-summation-order disagreement on the point-sharded
     path as the shard count grows (VERDICT r1 weak #6): per-shard voxel
