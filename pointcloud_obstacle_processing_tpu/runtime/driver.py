@@ -303,10 +303,13 @@ class ObstacleDetectionNode:
             self.pub_outliers.publish(cloud_msg(result.outlier_filtered_cloud))
             # planar_cloud / cloud_f carry the FULL non-plane cloud
             # (cpp:401-426) — not the cluster_capacity-compacted obstacle
-            # cloud, so a cluster_overflow never drops debug points.
-            self.pub_planar.publish(cloud_msg(result.nonplane_cloud))
+            # cloud, so a cluster_overflow never drops debug points.  One
+            # fetch serves both topics (through a tunnel each device
+            # fetch is real transfer time).
+            nonplane_msg = cloud_msg(result.nonplane_cloud)
+            self.pub_planar.publish(nonplane_msg)
             self.pub_indices.publish(cloud_msg(result.last_plane_cloud))
-            self.pub_filtered.publish(cloud_msg(result.nonplane_cloud))
+            self.pub_filtered.publish(nonplane_msg)
 
         self.last_cycle_seconds = time.perf_counter() - t0
         s = result.stats
