@@ -427,7 +427,7 @@ def _pallas_sweep_jump_banded(
             pl.BlockSpec((1, tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
             col(), col(), col(), col(), col(), col(),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=col(),
         scratch_shapes=[

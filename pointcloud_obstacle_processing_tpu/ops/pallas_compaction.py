@@ -69,7 +69,7 @@ def _kernel(
         block for this batch element.
     bins_ref: [1, c, group*128] f32 bin values, channel-leading; channel
         c-1 is the member count (occupancy = count > 0).
-    out_ref:  [B, capacity + group*128, 128] f32 in HBM (pltpu.ANY; the
+    out_ref:  [B, capacity + group*128, 128] f32 in HBM (pl.ANY; the
         minor dim is 128 because DMA slicing must be lane-tile aligned —
         only columns [0, c+1) are meaningful and the caller slices them).
         Column c is the f32 flat bin index ``blk*128 + lane`` (< 2^24,
@@ -224,7 +224,7 @@ def _pallas_compact_gather_batched(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((bsz, s_pad, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2 * group * 128, 128), jnp.float32),
