@@ -356,15 +356,16 @@ def main():
     fracs = {
         k: achieved[k] / sb[k][0] for k in achieved if sb[k][0] > 0
     }
-    worst = max(
-        (k for k in fracs if k not in LATENCY_CLASS), key=fracs.get
-    )
+    _cands = [k for k in fracs if k not in LATENCY_CLASS]
+    worst = max(_cands, key=fracs.get) if _cands else "n/a"
+    fracs.setdefault("n/a", 0.0)
     log(
         "speed-of-light (flagship, per scan): "
         + ", ".join(
             f"{k} {achieved[k]*1e3:.3f} ms vs {sb[k][0]*1e3:.3f} bound "
             f"({sb[k][1]}, {fracs[k]:.1f}x)"
             for k in achieved
+            if k in fracs  # a degenerate scene can zero a bound
         )
         + f" — worst stage vs bound: {worst} at {fracs[worst]:.1f}x"
     )
@@ -400,17 +401,14 @@ def main():
     # accumulates 200 frames of the SAME arena, cpp:691-698).  The old
     # construction stacked 8 different arenas (48 rock fields + 8x noise
     # blankets), which fused the whole cloud into one giant over-max_size
-    # component once the cluster stage stopped truncating.
-    fspec = SceneSpec(
-        n_ground=230_000, n_rocks=6, points_per_rock=3_000, n_noise=2_000
+    # component once the cluster stage stopped truncating.  Shared with
+    # the speed-of-light and merge-A/B scripts so every fullscale
+    # measurement runs the identical workload.
+    from pointcloud_obstacle_processing_tpu.utils.scene import (
+        make_fullscale_window,
     )
-    base = make_scene(seed=100, spec=fspec).points
-    jit_rng = np.random.default_rng(7)
-    parts = [
-        base + jit_rng.normal(0, 0.003, base.shape).astype(np.float32)
-        for _ in range(8)
-    ]
-    fpts = np.concatenate(parts)[: fcfg.max_points]
+
+    fpts = make_fullscale_window(fcfg.max_points)
     fcloud_np = np.zeros((fcfg.max_points, 3), np.float32)
     fcloud_np[: len(fpts)] = fpts
     fvalid = np.zeros(fcfg.max_points, bool)

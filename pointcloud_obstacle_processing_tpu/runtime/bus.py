@@ -44,14 +44,15 @@ class Subscription:
 
 
 class Publisher:
-    def __init__(self, bus: "MessageBus", topic: str):
+    def __init__(self, bus: "MessageBus", topic: str, latch: bool = False):
         self.bus = bus
         self.topic = topic
+        self.latch = latch
         self.n_published = 0
 
     def publish(self, msg: Any) -> None:
         self.n_published += 1
-        self.bus._dispatch(self.topic, msg)
+        self.bus._dispatch(self.topic, msg, latch=self.latch)
 
 
 class MessageBus:
@@ -62,21 +63,52 @@ class MessageBus:
 
     def __init__(self, immediate: bool = False):
         self._subs: dict[str, list[Subscription]] = {}
+        self._latched: dict[str, Any] = {}  # topic -> last latched message
         self._lock = threading.Lock()
         self.immediate = immediate  # deliver on publish (no spin needed)
 
-    def advertise(self, topic: str, queue_size: int = 1) -> Publisher:
+    def advertise(self, topic: str, queue_size: int = 1, latch: bool = False) -> Publisher:
+        """``latch``: ROS latched-topic semantics (the /tf_static idiom) —
+        the last published message is retained and delivered to every
+        LATER subscriber, so a static transform published once at startup
+        reaches consumers that connect afterwards."""
         del queue_size  # publisher-side queueing is a transport concern
-        return Publisher(self, topic)
+        return Publisher(self, topic, latch=latch)
 
     def subscribe(self, topic: str, callback: Callable[[Any], None], queue_size: int = 1) -> Subscription:
         sub = Subscription(topic, callback, queue_size)
         with self._lock:
             self._subs.setdefault(topic, []).append(sub)
+            latched = self._latched.get(topic)
+        if latched is not None:  # replay the retained message (latch)
+            if self.immediate:
+                sub.callback(latched)
+            else:
+                sub.push(latched)
         return sub
 
-    def _dispatch(self, topic: str, msg: Any) -> None:
+    def unsubscribe(self, sub: Subscription) -> None:
+        """Detach a subscription; its callback receives nothing further.
+        Idempotent.  (Transport-bridge connections unsubscribe on
+        disconnect so reconnecting subscribers don't leak dead
+        subscriptions — review r5 finding #2.)"""
         with self._lock:
+            group = self._subs.get(sub.topic)
+            if group is not None:
+                try:
+                    group.remove(sub)
+                except ValueError:
+                    pass
+
+    def latched(self, topic: str) -> Any | None:
+        """The retained message of a latched topic, if any."""
+        with self._lock:
+            return self._latched.get(topic)
+
+    def _dispatch(self, topic: str, msg: Any, latch: bool = False) -> None:
+        with self._lock:
+            if latch:
+                self._latched[topic] = msg
             subs = list(self._subs.get(topic, ()))
         for sub in subs:
             if self.immediate:

@@ -35,7 +35,11 @@ __all__ = [
 # tf2's two-topic split: dynamic transforms stream on /tf, latched static
 # ones on /tf_static — staticness is a property of the topic, not the
 # message (tf2_ros::TransformListener subscribes both; the reference's
-# listener at obstacle_detection.cpp:124-125, :938)
+# listener at obstacle_detection.cpp:124-125, :938).  For the latch to
+# hold across process boundaries, publish tf_static with
+# ``bus.advertise(TF_STATIC_TOPIC, latch=True)`` and bridge it with
+# ``connect_bus(..., latched=[TF_STATIC_TOPIC])`` — then a static mount
+# published once at startup reaches subscribers that connect later.
 TF_TOPIC = "tf"
 TF_STATIC_TOPIC = "tf_static"
 
@@ -159,9 +163,20 @@ class TransformBuffer:
         stamp = float(getattr(msg.header, "stamp", 0.0) or 0.0)
         with self._lock:
             hist = self._edges.get(msg.child_frame_id)
-            if hist is None or hist.parent != msg.header.frame_id:
-                # re-parenting resets the history (tf2 keeps one parent
-                # per child; a parent change invalidates old samples)
+            if (
+                hist is None
+                or hist.parent != msg.header.frame_id
+                or (hist.static and not static)
+            ):
+                # Reset the history on: a new edge; re-parenting (tf2
+                # keeps one parent per child, a parent change invalidates
+                # old samples); or a STATIC edge receiving its first
+                # DYNAMIC sample — a streaming publisher taking over a
+                # mount makes the edge dynamic, and without the demotion
+                # the edge would stay static forever: prune() skips
+                # static edges (unbounded history growth at sensor rate)
+                # and at() would keep returning latest instead of
+                # interpolating (review r5 finding #1).
                 hist = _EdgeHistory(msg.header.frame_id, static=static)
                 self._edges[msg.child_frame_id] = hist
             hist.static = hist.static or static

@@ -175,6 +175,7 @@ class BusServer:
         stats = ConnectionStats(peer)
         with self._stats_lock:
             self._stats.append(stats)
+        subs: list = []
         try:
             # subscription request: newline-separated topics, blank line ends
             req = b""
@@ -201,6 +202,10 @@ class BusServer:
                         q.put_nowait((topic, msg))
                 return cb
 
+            # NOTE: a latched topic's retained message is replayed by
+            # bus.subscribe straight into the queue, so a late TCP
+            # subscriber still receives e.g. the tf_static transforms
+            # published before it connected (review r5 finding #3)
             subs = [self.bus.subscribe(t, enqueue(t), queue_size=1) for t in wanted]
             self._clients.append(conn)
             conn.sendall(b"ok\n")
@@ -222,6 +227,11 @@ class BusServer:
                     stats.peer, stats.sent, stats.dropped,
                 )
         finally:
+            # detach this connection's bus subscriptions: a reconnecting
+            # subscriber must not leak dead callbacks that every future
+            # publish keeps invoking (review r5 finding #2)
+            for s in subs:
+                self.bus.unsubscribe(s)
             stats.disconnected = True
             with self._stats_lock:
                 try:
@@ -252,11 +262,15 @@ class BusServer:
 
 
 def connect_bus(bus: MessageBus, host: str, port: int,
-                topics: Iterable[str], daemon: bool = True) -> threading.Thread:
+                topics: Iterable[str], daemon: bool = True,
+                latched: Iterable[str] = ()) -> threading.Thread:
     """Subscribe a local bus to a remote BusServer's topics.
 
     Returns the receiver thread; messages arriving on the socket are
-    republished on ``bus`` under their original topic names.
+    republished on ``bus`` under their original topic names.  Topics in
+    ``latched`` republish with latch semantics (the /tf_static idiom):
+    the last bridged message is retained for local subscribers that
+    attach later.
     """
     sock = socket.create_connection((host, port))
     req = "".join(f"{t}\n" for t in topics) + "\n"
@@ -265,13 +279,14 @@ def connect_bus(bus: MessageBus, host: str, port: int,
     if ack != b"ok\n":
         raise ConnectionError(f"bad subscribe ack: {ack!r}")
     pubs: dict = {}
+    latched_set = set(latched)
 
     def recv_loop():
         try:
             while True:
                 topic, msg = _read_frame(sock)
                 if topic not in pubs:
-                    pubs[topic] = bus.advertise(topic)
+                    pubs[topic] = bus.advertise(topic, latch=topic in latched_set)
                 pubs[topic].publish(msg)
         except (ConnectionError, OSError, ValueError):
             pass

@@ -17,7 +17,7 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["SceneSpec", "Scene", "make_scene"]
+__all__ = ["SceneSpec", "Scene", "make_scene", "make_fullscale_window"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,3 +135,31 @@ def make_scene(seed: int = 0, spec: SceneSpec | None = None, nan_frac: float = 0
         crater_radii=crater_radii,
         spec=spec,
     )
+
+
+def make_fullscale_window(
+    max_points: int, n_obs: int = 8, seed: int = 100, noise_sigma: float = 0.003
+) -> np.ndarray:
+    """The canonical fullscale benchmark window: ONE arena re-observed
+    ``n_obs`` times with fresh sensor noise per observation — the
+    authentic accumulation semantics (the reference accumulates frames of
+    the SAME arena, obstacle_detection.cpp:691-698).
+
+    Shared by bench.py, scripts/speed_of_light.py and the merge A/B
+    experiment scripts so achieved-vs-bound and A/B comparisons are
+    guaranteed to run the identical workload (review r5 finding #5 —
+    three hand-copied constructions could silently drift apart).
+
+    Returns the [<=max_points, 3] float32 stacked window (truncated to
+    ``max_points``; pad/mask is the caller's concern).
+    """
+    spec = SceneSpec(
+        n_ground=230_000, n_rocks=6, points_per_rock=3_000, n_noise=2_000
+    )
+    base = make_scene(seed=seed, spec=spec).points
+    rng = np.random.default_rng(7)
+    parts = [
+        base + rng.normal(0, noise_sigma, base.shape).astype(np.float32)
+        for _ in range(n_obs)
+    ]
+    return np.concatenate(parts)[:max_points]

@@ -40,20 +40,16 @@ from pointcloud_obstacle_processing_tpu.utils.bounds import (
     LATENCY_CLASS,
     stage_bounds,
 )
-from pointcloud_obstacle_processing_tpu.utils.scene import SceneSpec, make_scene
 
 cfg = REFERENCE_FULLSCALE_CONFIG
 bounds_box = ((cfg.x_min, cfg.y_min, cfg.z_min), (cfg.x_max, cfg.y_max, cfg.z_max))
 tfid = RigidTransform.identity()
 
-# the bench's fullscale window: one arena re-observed 8x with 3 mm noise
-fspec = SceneSpec(n_ground=230_000, n_rocks=6, points_per_rock=3_000, n_noise=2_000)
-base = make_scene(seed=100, spec=fspec).points
-jit_rng = np.random.default_rng(7)
-parts = [
-    base + jit_rng.normal(0, 0.003, base.shape).astype(np.float32) for _ in range(8)
-]
-fpts = np.concatenate(parts)[: cfg.max_points]
+# the bench's fullscale window (shared construction: identical workload
+# to bench.py and the merge A/B scripts)
+from pointcloud_obstacle_processing_tpu.utils.scene import make_fullscale_window
+
+fpts = make_fullscale_window(cfg.max_points)
 pts = np.zeros((cfg.max_points, 3), np.float32)
 pts[: len(fpts)] = fpts
 valid = np.zeros(cfg.max_points, bool)

@@ -59,8 +59,7 @@ def main():
         merge_voxel_partials_packed,
         voxel_partials,
     )
-    from pointcloud_obstacle_processing_tpu.utils.scene import SceneSpec, make_scene
-
+    
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
     np.asarray(jnp.sum(jnp.ones((128, 128)) @ jnp.ones((128, 128))))
@@ -73,14 +72,11 @@ def main():
     bounds = ((cfg.x_min, cfg.y_min, cfg.z_min), (cfg.x_max, cfg.y_max, cfg.z_max))
     spec = _pack_spec(bounds, cfg.downsample_leaf_size)
 
-    fspec = SceneSpec(n_ground=230_000, n_rocks=6, points_per_rock=3_000, n_noise=2_000)
-    base = make_scene(seed=100, spec=fspec).points
-    jit_rng = np.random.default_rng(7)
-    parts = [
-        base + jit_rng.normal(0, 0.003, base.shape).astype(np.float32)
-        for _ in range(S)
-    ]
-    fpts = np.concatenate(parts)[:N]
+    from pointcloud_obstacle_processing_tpu.utils.scene import (
+        make_fullscale_window,
+    )
+
+    fpts = make_fullscale_window(N, n_obs=S)
     fcloud_np = np.zeros((N, 3), np.float32)
     fcloud_np[: len(fpts)] = fpts
     fvalid = np.zeros(N, bool)

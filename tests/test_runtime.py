@@ -313,3 +313,34 @@ def test_cloud2_nonstandard_field_layout(rng):
             header=msg.header, n_points=4, point_step=8, data=b"\0" * 32,
             fields=[PointField("x", 0), PointField("y", 4)],
         )
+
+
+def test_bus_latched_topic_and_unsubscribe():
+    """Latched topics replay their retained message to LATE subscribers
+    (the /tf_static idiom); unsubscribe detaches a subscription for good
+    (review r5 findings #2/#3)."""
+    from pointcloud_obstacle_processing_tpu.runtime.bus import MessageBus
+
+    bus = MessageBus(immediate=True)
+    pub = bus.advertise("tf_static", latch=True)
+    pub.publish("static-pose")
+    got = []
+    sub = bus.subscribe("tf_static", got.append)  # late subscriber
+    assert got == ["static-pose"]
+    pub.publish("static-pose-2")  # replaces the retained message
+    assert got == ["static-pose", "static-pose-2"]
+    assert bus.latched("tf_static") == "static-pose-2"
+
+    bus.unsubscribe(sub)
+    pub.publish("after-unsubscribe")
+    assert got == ["static-pose", "static-pose-2"]
+    bus.unsubscribe(sub)  # idempotent
+
+    # queued (non-immediate) buses replay the latch through the queue
+    qbus = MessageBus()
+    qbus.advertise("t", latch=True).publish(42)
+    got2 = []
+    qbus.subscribe("t", got2.append)
+    assert got2 == []
+    qbus.spin_once()
+    assert got2 == [42]

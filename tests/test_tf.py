@@ -118,3 +118,28 @@ def test_chained_interpolation_moving_sensor_replay():
     xf0 = tf.lookup_transform("world", "kinect2_link")
     p0 = np.asarray(xf0.apply(np.zeros((1, 3), np.float32)))[0]
     np.testing.assert_allclose(p0, [2.1, 0.0, 0.5], atol=1e-6)
+
+
+def test_static_edge_demotes_to_dynamic_on_streamed_updates():
+    """A mount installed as static (launch default) that then receives
+    STREAMED /tf samples becomes a dynamic edge: its history prunes
+    (no unbounded growth), stamped lookups interpolate, and times outside
+    the streamed span raise — instead of the edge silently staying
+    static-latest forever (review r5 finding #1)."""
+    tf = TransformBuffer(cache_time=2.0)
+    tf.set_static("world", "s", (0, 0, 0, 1), (9.0, 9.0, 9.0))
+    for stamp, x in ((10.0, 0.0), (11.0, 1.0), (12.0, 2.0), (14.0, 4.0)):
+        tf.set_transform(_stamped("world", "s", stamp, _rotz(0), (x, 0, 0)))
+    # interpolation works (dynamic semantics, the static latch is gone)
+    q, t = tf.lookup_quat_trans("world", "s", time=13.0)
+    np.testing.assert_allclose(t, [3.0, 0, 0], atol=1e-12)
+    # pruning works: stamps below 14.0 - cache_time fell out of history
+    with pytest.raises(ExtrapolationError):
+        tf.lookup_quat_trans("world", "s", time=10.5)
+    hist = tf._edges["s"]
+    assert not hist.static
+    assert hist.stamps == [12.0, 14.0]  # cutoff = latest - cache_time
+    # and a fresh static publication re-latches the edge
+    tf.set_static("world", "s", (0, 0, 0, 1), (7.0, 0.0, 0.0))
+    q, t = tf.lookup_quat_trans("world", "s", time=None)
+    np.testing.assert_allclose(t, [7.0, 0, 0], atol=1e-12)

@@ -219,6 +219,82 @@ def test_tf_over_tcp_feeds_stamped_lookup_at_time():
         srv.close()
 
 
+def test_latched_tf_static_survives_late_bridge_subscriber():
+    """tf2's /tf_static is LATCHED: a static mount published once at
+    startup must reach a subscriber that connects LATER — including over
+    the TCP bridge (review r5 finding #3: without the latch the static
+    edge was permanently lost and every lookup failed)."""
+    from pointcloud_obstacle_processing_tpu.runtime.msgs import TransformStampedMsg
+    from pointcloud_obstacle_processing_tpu.runtime.tf import (
+        TF_STATIC_TOPIC,
+        TF_TOPIC,
+        TransformBuffer,
+        attach_tf_listener,
+    )
+
+    src_bus = MessageBus(immediate=True)
+    # the remote process publishes its static mount BEFORE anyone connects
+    src_bus.advertise(TF_STATIC_TOPIC, latch=True).publish(
+        TransformStampedMsg(
+            header=Header("world", 1.0),
+            child_frame_id="kinect2_link",
+            translation=(0.0, 1.89, 1.55),
+            rotation_xyzw=(0.0, 0.0, 0.0, 1.0),
+        )
+    )
+    srv = BusServer(src_bus, [TF_TOPIC, TF_STATIC_TOPIC], port=0)
+    try:
+        node_bus = MessageBus(immediate=True)
+        buf = TransformBuffer()
+        attach_tf_listener(node_bus, buf)
+        # the node connects AFTER the publication; the bridged tf_static
+        # republishes latched locally too, so even later local
+        # subscribers would see it
+        connect_bus(node_bus, srv.address[0], srv.address[1],
+                    [TF_TOPIC, TF_STATIC_TOPIC], latched=[TF_STATIC_TOPIC])
+        assert _wait_for(lambda: buf.can_transform("world", "kinect2_link"))
+        tfm = buf.lookup_transform("world", "kinect2_link")
+        np.testing.assert_allclose(
+            np.asarray(tfm.translation), [0.0, 1.89, 1.55], atol=1e-6
+        )
+        # a second buffer attaching even later still resolves (local latch)
+        buf2 = TransformBuffer()
+        attach_tf_listener(node_bus, buf2)
+        assert buf2.can_transform("world", "kinect2_link")
+    finally:
+        srv.close()
+
+
+def test_disconnect_unsubscribes_from_the_bus():
+    """A closed TCP connection must not leave dead bus subscriptions
+    behind (review r5 finding #2: reconnect loops grew bus._subs and
+    every publish kept invoking dead callbacks)."""
+    pub_bus = MessageBus(immediate=True)
+    srv = BusServer(pub_bus, ["centroids"], port=0)
+    try:
+        pub = pub_bus.advertise("centroids")
+        for _ in range(3):
+            sub_bus = MessageBus(immediate=True)
+            connect_bus(sub_bus, srv.address[0], srv.address[1],
+                        ["centroids"], daemon=True)
+            # the server registered exactly this connection's subscription
+            assert _wait_for(lambda: len(pub_bus._subs.get("centroids", [])) == 1)
+            # tear the connection down server-side; the serve thread's
+            # next send fails and its cleanup must unsubscribe from the bus
+            for c in list(srv._clients):
+                c.close()
+
+            def srv_cleaned():
+                pub.publish(  # poke: a failing send surfaces the disconnect
+                    PointIndicesArrayMsg(header=Header("world", 0.0, 0), points=[])
+                )
+                return len(pub_bus._subs.get("centroids", [])) == 0
+
+            assert _wait_for(srv_cleaned, timeout=10.0)
+    finally:
+        srv.close()
+
+
 def test_abnormal_disconnect_is_counted_and_warned(rng, caplog):
     """A subscriber that vanishes mid-stream (socket torn down, no clean
     shutdown) must be observable: the connection's stats flip to
