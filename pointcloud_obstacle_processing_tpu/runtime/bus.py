@@ -77,21 +77,34 @@ class MessageBus:
 
     def subscribe(self, topic: str, callback: Callable[[Any], None], queue_size: int = 1) -> Subscription:
         sub = Subscription(topic, callback, queue_size)
-        with self._lock:
-            self._subs.setdefault(topic, []).append(sub)
-            latched = self._latched.get(topic)
-        if latched is not None:  # replay the retained message (latch)
+        # Latched replay with registration-ordering guarantee: deliver the
+        # retained message BEFORE the sub becomes visible to _dispatch,
+        # re-checking under the lock until the latched value is the one we
+        # delivered — so a publish racing this subscribe can never deliver
+        # a NEWER message first and have the stale replay clobber it
+        # (review r5b finding #1).  Delivery happens outside the lock
+        # (immediate-mode callbacks may themselves publish).
+        delivered: Any = None
+        while True:
+            with self._lock:
+                latched = self._latched.get(topic)
+                if latched is None or latched is delivered:
+                    self._subs.setdefault(topic, []).append(sub)
+                    break
             if self.immediate:
                 sub.callback(latched)
             else:
                 sub.push(latched)
+            delivered = latched
         return sub
 
     def unsubscribe(self, sub: Subscription) -> None:
-        """Detach a subscription; its callback receives nothing further.
-        Idempotent.  (Transport-bridge connections unsubscribe on
-        disconnect so reconnecting subscribers don't leak dead
-        subscriptions — review r5 finding #2.)"""
+        """Detach a subscription.  Idempotent.  After this returns, only a
+        ``_dispatch`` that had ALREADY snapshotted the subscriber list may
+        still deliver one in-flight message; nothing further after that.
+        (Transport-bridge connections unsubscribe on disconnect so
+        reconnecting subscribers don't leak dead subscriptions — review
+        r5 finding #2.)"""
         with self._lock:
             group = self._subs.get(sub.topic)
             if group is not None:

@@ -179,7 +179,13 @@ class TransformBuffer:
                 # interpolating (review r5 finding #1).
                 hist = _EdgeHistory(msg.header.frame_id, static=static)
                 self._edges[msg.child_frame_id] = hist
-            hist.static = hist.static or static
+            # NOTE deliberately NO re-promotion: a static sample arriving
+            # on an already-DYNAMIC edge inserts as an ordinary sample
+            # (tf2's one-cache-per-frame behavior) — promoting it would
+            # ping-pong the edge static<->dynamic under mixed publishers
+            # (e.g. a bridge reconnect replaying the latched tf_static
+            # while /tf streams), and every demotion would wipe the
+            # accumulated interpolation history (review r5b finding #2).
             hist.insert(stamp, q, t)
             hist.prune(self.cache_time)
 

@@ -138,8 +138,12 @@ def make_scene(seed: int = 0, spec: SceneSpec | None = None, nan_frac: float = 0
 
 
 def make_fullscale_window(
-    max_points: int, n_obs: int = 8, seed: int = 100, noise_sigma: float = 0.003
-) -> np.ndarray:
+    max_points: int,
+    n_obs: int = 8,
+    seed: int = 100,
+    noise_sigma: float = 0.003,
+    noise_seed: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
     """The canonical fullscale benchmark window: ONE arena re-observed
     ``n_obs`` times with fresh sensor noise per observation — the
     authentic accumulation semantics (the reference accumulates frames of
@@ -150,16 +154,28 @@ def make_fullscale_window(
     guaranteed to run the identical workload (review r5 finding #5 —
     three hand-copied constructions could silently drift apart).
 
-    Returns the [<=max_points, 3] float32 stacked window (truncated to
-    ``max_points``; pad/mask is the caller's concern).
+    ``noise_seed`` defaults to the canonical stream (7) when ``seed`` is
+    the canonical 100, and to ``seed + 1`` otherwise — so windows built
+    from different arenas get independent noise too, not the same stream
+    replayed (review r5b finding #5).
+
+    Returns ``(points[max_points, 3] float32, valid[max_points] bool)``
+    zero-padded to capacity.
     """
     spec = SceneSpec(
         n_ground=230_000, n_rocks=6, points_per_rock=3_000, n_noise=2_000
     )
     base = make_scene(seed=seed, spec=spec).points
-    rng = np.random.default_rng(7)
+    if noise_seed is None:
+        noise_seed = 7 if seed == 100 else seed + 1
+    rng = np.random.default_rng(noise_seed)
     parts = [
         base + rng.normal(0, noise_sigma, base.shape).astype(np.float32)
         for _ in range(n_obs)
     ]
-    return np.concatenate(parts)[:max_points]
+    window = np.concatenate(parts)[:max_points]
+    pts = np.zeros((max_points, 3), np.float32)
+    pts[: len(window)] = window
+    valid = np.zeros(max_points, bool)
+    valid[: len(window)] = True
+    return pts, valid

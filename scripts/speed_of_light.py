@@ -49,11 +49,7 @@ tfid = RigidTransform.identity()
 # to bench.py and the merge A/B scripts)
 from pointcloud_obstacle_processing_tpu.utils.scene import make_fullscale_window
 
-fpts = make_fullscale_window(cfg.max_points)
-pts = np.zeros((cfg.max_points, 3), np.float32)
-pts[: len(fpts)] = fpts
-valid = np.zeros(cfg.max_points, bool)
-valid[: len(fpts)] = True
+pts, valid = make_fullscale_window(cfg.max_points)
 cloud = Cloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
 key = jax.random.PRNGKey(0)
 

@@ -76,12 +76,7 @@ def main():
         make_fullscale_window,
     )
 
-    fpts = make_fullscale_window(N, n_obs=S)
-    fcloud_np = np.zeros((N, 3), np.float32)
-    fcloud_np[: len(fpts)] = fpts
-    fvalid = np.zeros(N, bool)
-    fvalid[: len(fpts)] = True
-
+    fcloud_np, fvalid = make_fullscale_window(N, n_obs=S)
     shard_pts = jnp.asarray(fcloud_np.reshape(S, NS, 3))
     shard_valid = jnp.asarray(fvalid.reshape(S, NS))
 
