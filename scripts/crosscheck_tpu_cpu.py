@@ -59,17 +59,14 @@ def build_case(name):
             REFERENCE_FULLSCALE_CONFIG,
         )
         cfg = REFERENCE_FULLSCALE_CONFIG
-        # the bench's fullscale window: ONE arena re-observed 8x with
-        # fresh 3 mm sensor noise (authentic accumulation semantics)
-        spec = SceneSpec(
-            n_ground=230_000, n_rocks=6, points_per_rock=3_000, n_noise=2_000)
-        base = make_scene(seed=100, spec=spec).points
-        jit_rng = np.random.default_rng(7)
-        parts = [
-            base + jit_rng.normal(0, 0.003, base.shape).astype(np.float32)
-            for _ in range(8)
-        ]
-        pts = np.concatenate(parts)[: cfg.max_points]
+        # the bench's canonical fullscale window (shared construction —
+        # the crosscheck must run the exact workload the bench times)
+        from pointcloud_obstacle_processing_tpu.utils.scene import (
+            make_fullscale_window,
+        )
+
+        buf, valid = make_fullscale_window(cfg.max_points)
+        return cfg, Cloud.from_points(buf, valid)
     else:
         raise ValueError(name)
     buf = np.zeros((cfg.max_points, 3), np.float32)
