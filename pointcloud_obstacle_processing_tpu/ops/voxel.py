@@ -536,6 +536,27 @@ def _unpack_keys(packed, spec):
     return lx, ly, lz
 
 
+def _channelled_vals_to_partials(sv, num, K: int, spec, capacity: int) -> VoxelPartials:
+    """Channel-leading [5, capacity] merged table (packed key, sum_xyz,
+    count) + run count -> VoxelPartials.  The shared output formatting of
+    the packed sort merge and the distributed key-range merge (one copy:
+    a fix to the sentinel masking or the int decode cannot silently miss
+    the twin — review r5c finding #3)."""
+    slot = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    out_valid = slot < jnp.minimum(num, capacity)
+    slot_key = jnp.clip(sv[0].astype(jnp.int32), 0, K - 1)
+    lx, ly, lz = _unpack_keys(slot_key, spec)
+    key_cols = [jnp.where(out_valid, l, _I32_MAX) for l in (lx, ly, lz)]
+    sum_cols = [jnp.where(out_valid, sv[ch], 0.0) for ch in (1, 2, 3)]
+    return VoxelPartials(
+        keys=jnp.stack(key_cols, axis=-1),
+        sums=jnp.stack(sum_cols, axis=-1),
+        counts=jnp.where(out_valid, sv[4], 0.0),
+        num_voxels=num,
+        overflow=num > capacity,
+    )
+
+
 def merge_voxel_partials_packed(
     packed, sums, counts, capacity: int, spec, leaf_size: float,
 ) -> VoxelPartials:
@@ -592,19 +613,9 @@ def merge_voxel_partials_packed(
             is_stable=True,
         )
         vals, num = sorted_run_reduce(sk, (sx, sy, sz, scnt), K, capacity)
-        sv = lax.optimization_barrier(vals.T)  # one read of the wide buffer
-        slot = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
-        out_valid = slot < jnp.minimum(num, capacity)
-        slot_key = jnp.clip(sv[0].astype(jnp.int32), 0, K - 1)
-        lx, ly, lz = _unpack_keys(slot_key, spec)
-        key_cols = [jnp.where(out_valid, l, _I32_MAX) for l in (lx, ly, lz)]
-        sum_cols = [jnp.where(out_valid, sv[ch], 0.0) for ch in (1, 2, 3)]
-        return VoxelPartials(
-            keys=jnp.stack(key_cols, axis=-1),
-            sums=jnp.stack(sum_cols, axis=-1),
-            counts=jnp.where(out_valid, sv[4], 0.0),
-            num_voxels=num,
-            overflow=num > capacity,
+        # one read of the wide run-reduce buffer (transposed slot-decode)
+        return _channelled_vals_to_partials(
+            lax.optimization_barrier(vals.T), num, K, spec, capacity
         )
     # corner-relative partial sums: keeps the fused value gather's bf16
     # split error proportional to count*leaf rather than |coordinate|.

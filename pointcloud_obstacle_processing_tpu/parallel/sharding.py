@@ -102,7 +102,7 @@ def data_parallel_pipeline(config: PipelineConfig, mesh: Mesh, data_axis: str = 
 
 
 def _distributed_merge(
-    parts, config: PipelineConfig, axis_name: str, num_shards: int
+    parts, config: PipelineConfig, axis_name: str, num_shards: int, spec=None
 ):
     """Key-range distributed merge of the per-shard voxel partial tables.
 
@@ -126,30 +126,39 @@ def _distributed_merge(
     below both); a chunk or range overflow raises the returned flag —
     observable truncation like every other capacity knob.
 
-    Values: the per-range sort+reduce runs the same machinery as the
-    replicated merge over the same runs — keys, counts and num_voxels
-    are exact matches; f32 coordinate sums re-associate (different
-    window boundaries and duplicate-key payload order), the same class
-    of deviation the SP path already carries vs single-chip.
+    Values: in the NO-overflow regime the per-range sort+reduce runs the
+    same machinery as the replicated merge over the same runs — keys,
+    counts and num_voxels are exact matches; f32 coordinate sums
+    re-associate (different window boundaries), the same class of
+    deviation the SP path already carries vs single-chip.  UNDER
+    overflow the semantics differ: the replicated merge reports the raw
+    run count in ``num_voxels`` while this path reports the clamped
+    number of rows actually present (range truncation drops runs before
+    they can be counted) — both raise ``overflow``.
+
+    Layout: every collective and the write-back run CHANNEL-LEADING
+    ([5, ...]) — a channel-minor [rows, 5] form would lane-pad 5 -> 128
+    and move ~25x the bytes (CLAUDE.md layout facts; review r5c finding
+    #1).  The packed keys ride the stacked f32 collective exactly
+    (K <= 2^23 < 2^24, the ``packable`` guard).
     """
     from ..ops.pallas_runreduce import sorted_run_reduce
     from ..ops.voxel import (
-        _I32_MAX,
+        _channelled_vals_to_partials,
         _pack_keys,
         _pack_spec,
-        _unpack_keys,
-        VoxelPartials,
     )
 
     S = num_shards
     cap = config.max_voxels
     leaf = config.downsample_leaf_size
-    bounds = (
-        (config.x_min, config.y_min, config.z_min),
-        (config.x_max, config.y_max, config.z_max),
-    )
-    spec = _pack_spec(bounds, leaf)
-    imin, dims = spec
+    if spec is None:
+        bounds = (
+            (config.x_min, config.y_min, config.z_min),
+            (config.x_max, config.y_max, config.z_max),
+        )
+        spec = _pack_spec(bounds, leaf)
+    dims = spec[1]
     K = dims[0] * dims[1] * dims[2]
     kstep = -(-K // S)
     chunk_cap = max(128, (2 * cap // S) // 128 * 128)
@@ -183,24 +192,34 @@ def _distributed_merge(
         return rows
 
     chunks = [build_chunk(r) for r in range(S)]
-    send = [
-        jnp.stack([chunks[r][c] for r in range(S)]) for c in range(5)
-    ]  # five [S, chunk_cap] arrays, row r bound for shard r
-    recv = [
-        lax.all_to_all(a, axis_name, split_axis=0, concat_axis=0, tiled=False)
-        for a in send
-    ]  # [S, chunk_cap]: every shard's chunk for MY range
+    # ONE channel-leading [5, S, chunk_cap] f32 collective instead of five
+    # [S, chunk_cap] calls: the int32 packed keys cast to f32 EXACTLY
+    # (values <= K <= 2^23), and the minor two dims [S, chunk_cap] tile
+    # cleanly (chunk_cap % 128 == 0) — no lane padding anywhere
+    send = jnp.stack(
+        [
+            jnp.stack([chunks[r][c] for r in range(S)]).astype(jnp.float32)
+            for c in range(5)
+        ]
+    )  # [5, S, chunk_cap]; row (c, r) bound for shard r
+    recv = lax.all_to_all(
+        send, axis_name, split_axis=1, concat_axis=1, tiled=False
+    )  # [5, S, chunk_cap]: every shard's chunk for MY range
 
-    flat = [a.reshape(S * chunk_cap) for a in recv]
+    flat = [recv[c].reshape(S * chunk_cap) for c in range(5)]
     # stable: the all_to_all stacks source shards in axis order, so a
     # stable sort gives a deterministic duplicate-key payload permutation
     # (cross-backend reproducible sums; same rationale as the replicated
-    # large-table merge, ADVICE r4 #2)
-    sk, sx, sy, sz, sc = lax.sort(tuple(flat), num_keys=1, is_stable=True)
+    # large-table merge, ADVICE r4 #2).  Sorting the f32-encoded integer
+    # keys orders identically to the int32 sort (exact values <= 2^23).
+    sk_f, sx, sy, sz, sc = lax.sort(tuple(flat), num_keys=1, is_stable=True)
+    sk = sk_f.astype(jnp.int32)  # exact round-trip
     vals_r, num_r = sorted_run_reduce(sk, (sx, sy, sz, sc), K, range_cap)
     range_overflow = num_r > range_cap
 
-    vals_all = lax.all_gather(vals_r, axis_name)  # [S, range_cap, 5]
+    # channel-leading BEFORE the gather: [range_cap, 5] would lane-pad
+    vals_rt = lax.optimization_barrier(vals_r.T)  # [5, range_cap]
+    vals_all = lax.all_gather(vals_rt, axis_name)  # [S, 5, range_cap]
     num_all = jnp.minimum(lax.all_gather(num_r, axis_name), range_cap)  # [S]
     offs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(num_all)]
@@ -209,34 +228,24 @@ def _distributed_merge(
     # ascending-offset write-back: range r's garbage tail (rows >= num_r)
     # is overwritten by range r+1's rows, which land at exactly
     # offs[r] + num_all[r] — the sequential-overwrite contract
-    buf = jnp.zeros((cap + range_cap, 5), jnp.float32)
+    buf = jnp.zeros((5, cap + range_cap), jnp.float32)
 
     def body(r, buf):
-        rows = lax.dynamic_slice_in_dim(vals_all, r, 1, axis=0)[0]
+        rows = lax.dynamic_slice_in_dim(vals_all, r, 1, axis=0)[0]  # [5, range_cap]
         o = jnp.minimum(offs[r], cap)
-        return lax.dynamic_update_slice(buf, rows, (o, 0))
+        return lax.dynamic_update_slice(buf, rows, (0, o))
 
     buf = lax.fori_loop(0, S, body, buf)
-    num = jnp.sum(num_all)
+    num = jnp.sum(num_all)  # rows actually present (range-clamped)
 
-    sv = lax.optimization_barrier(buf[:cap].T)  # one read of the wide buffer
-    slot = lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-    out_valid = slot < jnp.minimum(num, cap)
-    slot_key = jnp.clip(sv[0].astype(jnp.int32), 0, K - 1)
-    lx, ly, lz = _unpack_keys(slot_key, spec)
-    key_cols = [jnp.where(out_valid, l, _I32_MAX) for l in (lx, ly, lz)]
-    sum_cols = [jnp.where(out_valid, sv[ch], 0.0) for ch in (1, 2, 3)]
+    merged = _channelled_vals_to_partials(buf[:, :cap], num, K, spec, cap)
     overflow = (
-        (num > cap)
+        merged.overflow
         | (lax.psum(chunk_overflow.astype(jnp.int32), axis_name) > 0)
         | (lax.psum(range_overflow.astype(jnp.int32), axis_name) > 0)
     )
-    return VoxelPartials(
-        keys=jnp.stack(key_cols, axis=-1),
-        sums=jnp.stack(sum_cols, axis=-1),
-        counts=jnp.where(out_valid, sv[4], 0.0),
-        num_voxels=jnp.minimum(num, cap),
-        overflow=overflow,
+    return merged._replace(
+        num_voxels=jnp.minimum(num, cap), overflow=overflow
     )
 
 
@@ -265,13 +274,17 @@ def process_scan_point_sharded(
 
     ``distribute_merge``: distribute the voxel-table merge by key range
     too (``_distributed_merge``) — keys/counts/num exact vs the
-    replicated merge, f32 sums re-associate.  Default ``None`` = ON for
-    multi-shard meshes (graduated in round 5 after the chunk/range
-    overflow contract tests landed — VERDICT r4 next #1); pass ``False``
-    to force the replicated merge.  Falls back to replicated when the
-    lattice is unpackable, ``max_voxels`` doesn't tile by 128, or the
-    per-range chunk capacity would underflow 128 rows — the conditions
-    under which the key-range chunks can't be laid out.
+    replicated merge in the no-overflow regime, f32 sums re-associate.
+    Default ``None`` = ON in the measured-win regime (graduated round 5
+    after the chunk/range overflow contract tests landed — VERDICT r4
+    next #1): >2 shards AND a gathered table at or above the sort-merge
+    threshold (the fullscale 2M-row case; at S=2 the range sort covers
+    the whole table and small tables dense-scatter faster replicated).
+    Pass ``True``/``False`` to force either path.  Regardless of the
+    flag, falls back to replicated when the lattice is unpackable,
+    ``max_voxels`` doesn't tile by 128, or the per-range chunk capacity
+    would underflow 128 rows — the conditions under which the key-range
+    chunks can't be laid out.
     """
     if config.voxel_order != "lattice":
         # merge_voxel_partials re-orders through the dense packed-key bins,
@@ -329,12 +342,24 @@ def process_scan_point_sharded(
         merge_voxel_partials_packed,
     )
 
+    from ..ops.voxel import _SORT_MERGE_MIN_ROWS
+
     spec = _pack_spec(bounds, config.downsample_leaf_size)
     packable = (
         spec is not None and spec[1][0] * spec[1][1] * spec[1][2] <= (1 << 23)
     )
     if distribute_merge is None:
-        distribute_merge = num_shards > 1  # default-on since round 5
+        # Default ON only in the MEASURED-win regime (review r5c finding
+        # #2): more than 2 shards (at S=2 each range sort covers the whole
+        # gathered table — zero work saved for three extra collectives)
+        # and a gathered table big enough that the replicated path would
+        # SORT it (below _SORT_MERGE_MIN_ROWS the replicated merge
+        # dense-scatters in ~3 ms-class time and the distributed form is
+        # unmeasured).  Pass distribute_merge=True to force it elsewhere.
+        distribute_merge = (
+            num_shards > 2
+            and num_shards * config.max_voxels >= _SORT_MERGE_MIN_ROWS
+        )
     use_dist = (
         distribute_merge
         and num_shards > 1
@@ -346,7 +371,7 @@ def process_scan_point_sharded(
         # key-range distributed merge: all_to_all range chunks, per-range
         # sort+reduce, all_gather of merged range tables (~8.5 -> ~2-3 ms
         # projected at fullscale; see _distributed_merge)
-        merged = _distributed_merge(parts, config, axis_name, num_shards)
+        merged = _distributed_merge(parts, config, axis_name, num_shards, spec)
     elif packable:
         # replicated merge over the slim gathered table: keys pack
         # shard-locally BEFORE the all_gather — 1 int32 key + 4 f32
@@ -417,8 +442,9 @@ def dp_sp_pipeline(
     'points' axis and sharded over 'data'.  ``shard_post_voxel`` distributes
     the post-voxel O(N*W) stages over 'points' too (bitwise identical to
     the replicated form); ``distribute_merge=None`` defaults the key-range
-    distributed voxel merge ON for multi-shard 'points' axes (see
-    process_scan_point_sharded for the fallback conditions).
+    distributed voxel merge ON in its measured-win regime (>2 'points'
+    shards and a sort-scale gathered table — see process_scan_point_sharded
+    for the exact gate and fallback conditions).
     """
     n_points_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[points_axis]
 

@@ -370,7 +370,8 @@ def test_distributed_merge_matches_replicated_merge(rng):
 
 def test_dp_sp_pipeline_with_distributed_merge(rng):
     """End-to-end SP with the key-range distributed merge (the round-5
-    DEFAULT for multi-shard meshes) stays inside the SP disagreement
+    default in its measured-win regime; forced on here — the toy table is
+    below the sort-merge threshold) stays inside the SP disagreement
     bounds vs the forced-replicated-merge SP run (structural outputs
     exact; isolated grid cells may flip with f32 sum re-association, like
     the existing shard-count scaling contract)."""
@@ -379,7 +380,7 @@ def test_dp_sp_pipeline_with_distributed_merge(rng):
     keys = jax.random.split(jax.random.PRNGKey(9), 1)
     cfg = SHARD_CFG.replace(max_voxels=4096)  # scene fits: no voxel overflow
     rep = dp_sp_pipeline(cfg, mesh, distribute_merge=False)(clouds, keys)
-    dm = dp_sp_pipeline(cfg, mesh)(clouds, keys)  # default = distributed
+    dm = dp_sp_pipeline(cfg, mesh, distribute_merge=True)(clouds, keys)
     assert int(dm.stats.voxel_points[0]) == int(rep.stats.voxel_points[0])
     assert not bool(dm.stats.voxel_overflow[0])
     assert int(dm.clusters.num_clusters[0]) == int(rep.clusters.num_clusters[0])
@@ -398,7 +399,7 @@ def test_dp_sp_2x4_with_distributed_merge(rng):
     keys = jax.random.split(jax.random.PRNGKey(11), 2)
     cfg = SHARD_CFG.replace(max_voxels=4096)
     rep = dp_sp_pipeline(cfg, mesh, distribute_merge=False)(clouds, keys)
-    dm = dp_sp_pipeline(cfg, mesh)(clouds, keys)  # default = distributed
+    dm = dp_sp_pipeline(cfg, mesh, distribute_merge=True)(clouds, keys)
     for i in range(2):
         assert int(dm.stats.voxel_points[i]) == int(rep.stats.voxel_points[i])
         assert not bool(dm.stats.voxel_overflow[i])
@@ -407,6 +408,38 @@ def test_dp_sp_2x4_with_distributed_merge(rng):
             np.mean(np.asarray(dm.grid.data[i]) != np.asarray(rep.grid.data[i]))
         )
         assert frac < 0.01, (i, frac)
+
+
+def test_distribute_merge_default_gate(rng):
+    """The distribute_merge=None default binds only in the measured-win
+    regime: >2 shards AND a gathered table at the sort-merge threshold
+    (review r5c finding #2: at S=2 the range sort covers the whole table,
+    and small tables dense-scatter faster replicated).  Asserted at trace
+    level: the distributed merge is the only all_to_all in the program."""
+    from pointcloud_obstacle_processing_tpu.ops.voxel import _SORT_MERGE_MIN_ROWS
+
+    clouds = _batch(1, seed0=3)
+    keys = jax.random.split(jax.random.PRNGKey(4), 1)
+
+    def has_all_to_all(cfg, mesh, **kw):
+        txt = dp_sp_pipeline(cfg, mesh, **kw).lower(clouds, keys).as_text()
+        return ("all_to_all" in txt) or ("all-to-all" in txt)
+
+    mesh8 = make_mesh({"data": 1, "points": 8})
+    # toy table (8 x 2048 rows << threshold): default stays replicated,
+    # explicit True forces the distributed path
+    assert not has_all_to_all(SHARD_CFG, mesh8)
+    assert has_all_to_all(SHARD_CFG, mesh8, distribute_merge=True)
+    # sort-scale table (8 x 65536 = 2^19 gathered rows): default ON
+    big = SHARD_CFG.replace(max_voxels=_SORT_MERGE_MIN_ROWS // 8)
+    assert has_all_to_all(big, mesh8)
+    # S=2: zero work saved — default stays replicated even at sort scale
+    mesh2 = make_mesh({"data": 4, "points": 2})
+    big2 = SHARD_CFG.replace(max_voxels=_SORT_MERGE_MIN_ROWS // 2)
+    clouds4 = _batch(4, seed0=3)
+    keys4 = jax.random.split(jax.random.PRNGKey(4), 4)
+    txt = dp_sp_pipeline(big2, mesh2).lower(clouds4, keys4).as_text()
+    assert not (("all_to_all" in txt) or ("all-to-all" in txt))
 
 
 def _slab_parts_fn(cfg, bounds):
@@ -503,10 +536,11 @@ def test_distributed_merge_range_overflow_is_observable(rng):
 
 
 def test_distributed_merge_overflow_reaches_pipeline_stats(rng):
-    """The same skewed workload through the FULL SP pipeline (distributed
-    merge on by default): stats.voxel_overflow must be observable, and the
-    forced-replicated run over the identical input must NOT flag — proving
-    the flag comes from the distributed capacities, not the table size."""
+    """The same skewed workload through the FULL SP pipeline with the
+    distributed merge forced on: stats.voxel_overflow must be observable,
+    and the forced-replicated run over the identical input must NOT flag
+    — proving the flag comes from the distributed capacities, not the
+    table size."""
     cfg = SHARD_CFG.replace(max_voxels=512)
     leaf = cfg.downsample_leaf_size
     mesh = make_mesh({"data": 1, "points": 8})
@@ -522,7 +556,7 @@ def test_distributed_merge_overflow_reaches_pipeline_stats(rng):
     clouds = Cloud(points=jnp.asarray(pts), valid=jnp.asarray(valid))
     keys = jax.random.split(jax.random.PRNGKey(21), 1)
 
-    dm = dp_sp_pipeline(cfg, mesh)(clouds, keys)  # default = distributed
+    dm = dp_sp_pipeline(cfg, mesh, distribute_merge=True)(clouds, keys)
     rep = dp_sp_pipeline(cfg, mesh, distribute_merge=False)(clouds, keys)
     assert not bool(rep.stats.voxel_overflow[0]), (
         "replicated merge fits: the table itself does not overflow"
