@@ -7,22 +7,33 @@ The reference delegates to ``pcl::VoxelGrid`` with a cubic leaf
 ``ijk = floor(coord / leaf)`` on *absolute* coordinates, and the output is
 one point per occupied voxel at the **centroid** (mean) of its members.
 
-TPU-native design — no hash tables, no host round-trips.  Three binning
-paths, chosen statically by crop-box/bin-count (measured rationale in
-docs/PERFORMANCE.md; XLA TPU sorts cost ~27 ms at 131k and scatters
-serialize at ~20 cycles/update):
+TPU-native design — no hash tables, no host round-trips.  Four binning
+engines, chosen statically by crop-box/bin-count (measured rationale in
+docs/PERFORMANCE.md; scatters serialize at ~20 cycles/update, while
+batched multi-operand SORTS are nearly free — the round-1 "27 ms-class
+sort" datum was overturned by the sort-engine work, CLAUDE.md):
 
-1. **MXU dense-bin** (bounds given, K <= 2^19 bins): per-bin
+1. **Sort engine** (the default, ``binning="sort"``/"auto" with packable
+   bounds): ONE stable 1-key sort of the packed lattice key carrying
+   corner-relative offset payloads + the fused Pallas run-reduce kernel
+   (``_sort_segment_partials`` / ops/pallas_runreduce.py) — K-independent,
+   full-f32 sums; serves the flagship 230k-bin and the fullscale
+   3.9M-bin lattices alike.
+2. **MXU dense-bin** (``binning="mxu"``, K <= 2^19): per-bin
    [offset_x, offset_y, offset_z, count] accumulated as one-hot
    outer-product matmuls (ops/mxu_histogram.py), offsets voxel-corner
    relative for bf16-split precision; occupied bins compacted with the
    block-structured stream compaction — no sort, no big scatter.
-2. **Dense scatter** (bounds given, K <= 2^23): one fused [K, 4]
-   scatter-add — N-bound, for very fine lattices (the reference's 0.015
-   leaf over a 200-frame window).
-3. **3-key sort fallback** (no bounds / astronomically fine grids):
-   multi-key ``lax.sort`` with INT32_MAX sentinels, head detection at key
-   changes, segment scatter-add on compact ids.
+3. **Dense scatter** (``binning="scatter"``, K <= 2^23): one fused
+   [K, 4] scatter-add — N-bound.  NOTE the [K, 4] scatter target is
+   channel-minor and lane-pads 4 -> 128 (CLAUDE.md layout facts): at the
+   3.9M-bin lattice that is a ~2 GB padded intermediate, which is one
+   more reason the sort engine is the shipped default there (kept as-is:
+   the fused wide-row scatter form is the measured one; re-measure
+   before re-laying it out).
+4. **3-key sort fallback** (no bounds / lattices beyond 2^23 bins):
+   stable multi-key ``lax.sort`` with INT32_MAX sentinels, head
+   detection at key changes, segment scatter-add on compact ids.
 
 All paths emit centroids = sums / counts for the first ``min(num_voxels,
 max_voxels)`` occupied voxels in ascending (ix, iy, iz) order —
@@ -85,7 +96,16 @@ def _reduce_sorted_keys(
 ) -> VoxelPartials:
     """Segment-reduce (sums, counts) over key-sorted rows into ``capacity``
     compact slots.  Inputs must be sorted by (kx, ky, kz) with INT32_MAX
-    sentinel keys for invalid rows; ``counts > 0`` marks real rows."""
+    sentinel keys for invalid rows; ``counts > 0`` marks real rows.
+
+    Precision caveat (fallback paths only): the segment sums accumulate
+    through ``.at[ids].add`` with duplicate indices, whose per-duplicate
+    accumulation ORDER is the scatter implementation's choice — with the
+    callers' stable sorts the operand order is deterministic, but f32
+    sums may still differ between backends whose scatters accumulate in
+    a different order.  The default sort engine does not use this path
+    (its run-reduce evaluates a fixed tree on every backend); the
+    TPU<->CPU crosscheck runs the default engines."""
     n = kx.shape[0]
     real = counts > 0.0
     first = jnp.zeros((n,), bool).at[0].set(True)
@@ -141,14 +161,11 @@ def _dense_bins_to_partials(
     # value gather: no sort, no serialized bins[loc] row gather, no
     # [capacity, A] one-hot matmul
     loc, num, slot_vals = compact_and_gather_exact(bins, occ2d, capacity)
-    target = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] + 1
-    out_valid = target - 1 < jnp.minimum(num, capacity)
+    slot = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    out_valid = slot < jnp.minimum(num, capacity)
 
-    # unpack bin index -> absolute voxel coords
-    lx = loc // (dims[1] * dims[2]) + imin[0]
-    lrem = loc % (dims[1] * dims[2])
-    ly = lrem // dims[2] + imin[1]
-    lz = lrem % dims[2] + imin[2]
+    # unpack bin index -> absolute voxel coords (the one shared decode)
+    lx, ly, lz = _unpack_keys(loc, (imin, dims))
     keys = jnp.where(
         out_valid[:, None],
         jnp.stack([lx, ly, lz], axis=-1),
@@ -267,7 +284,12 @@ def _sort_segment_partials(
 
     n = pts.shape[0]
     if n % 128:
-        raise ValueError("sort-path capacity must be a multiple of 128")
+        raise ValueError(
+            "the sort engine needs the POINT buffer length to be a "
+            f"multiple of 128 (got cloud capacity n={n}; this is a "
+            "constraint on max_points / the padded cloud, not on "
+            "max_voxels)"
+        )
     K = dims[0] * dims[1] * dims[2]
     ix = jnp.clip(ijk[:, 0] - imin[0], 0, dims[0] - 1)
     iy = jnp.clip(ijk[:, 1] - imin[1], 0, dims[1] - 1)
@@ -344,10 +366,7 @@ def _sort_segment_partials(
         dx, dy, dz = _morton_decode(slot_key, sched)
         lx, ly, lz = dx + imin[0], dy + imin[1], dz + imin[2]
     else:
-        lx = slot_key // (dims[1] * dims[2]) + imin[0]
-        lrem = slot_key % (dims[1] * dims[2])
-        ly = lrem // dims[2] + imin[1]
-        lz = lrem % dims[2] + imin[2]
+        lx, ly, lz = _unpack_keys(slot_key, (imin, dims))
     # Tail shape discipline (measured, scripts/tpu_experiments38/39.py):
     # downstream of the kernel's lane-padded ANY output, [capacity, 3]
     # channel-minor STACKS inside the expression cost +3..5 ms/batch-of-32
@@ -392,9 +411,9 @@ def voxel_partials(
     is config-static and backend-INDEPENDENT so the TPU<->CPU crosscheck
     compares identical programs):
 
-    * "sort" (= "auto"): stable-sort + segmented scan + Pallas run-end
-      compaction (``_sort_segment_partials``) — K-independent, full-f32
-      sums, the measured-fastest path on v5e.
+    * "sort" (= "auto"): stable 1-key sort + the fused Pallas run-reduce
+      kernel (``_sort_segment_partials`` -> ops/pallas_runreduce.py) —
+      K-independent, full-f32 sums, the measured-fastest path on v5e.
     * "mxu": dense one-hot-matmul histogram (K <= 2^19) — kept for
       comparison and as the engine behind ``merge_voxel_partials``;
       ``sum_precision`` chooses its bf16-split term count.
@@ -408,7 +427,15 @@ def voxel_partials(
     n = cloud.capacity
     valid = cloud.valid & jnp.all(jnp.isfinite(pts), axis=-1)
 
-    ijk = jnp.floor(pts / jnp.float32(leaf_size)).astype(jnp.int32)
+    # clamp BEFORE the int cast: f32->int32 overflow is implementation-
+    # defined and a huge finite coordinate could otherwise collide with
+    # the INT32_MAX empty-slot sentinel on the unbounded fallback (review
+    # r5d finding #3); +-2^30 voxel indices bound any real deployment by
+    # many orders of magnitude, and the packable paths clip to the
+    # lattice dims anyway (identical results there)
+    ijk = jnp.clip(
+        jnp.floor(pts / jnp.float32(leaf_size)), -(2.0**30), 2.0**30
+    ).astype(jnp.int32)
     spec = _pack_spec(bounds, leaf_size)
     packable = (
         spec is not None and spec[1][0] * spec[1][1] * spec[1][2] <= (1 << 23)
@@ -439,6 +466,29 @@ def voxel_partials(
             "voxel_order='morton' requires the sort engine (packable bounds, "
             "capacity % 128 == 0, binning in ('auto', 'sort'))"
         )
+    if binning not in ("auto", "mxu", "scatter"):
+        raise ValueError(
+            f"unknown voxel binning engine {binning!r} "
+            "(choose 'auto', 'sort', 'mxu' or 'scatter')"
+        )
+    # The same explicit-request contract as binning='sort' above: 'mxu'
+    # and 'scatter' must run the engine they name or raise — silently
+    # substituting changes sum-precision semantics (review r5d finding #1).
+    if binning in ("mxu", "scatter") and not packable:
+        raise ValueError(
+            f"binning={binning!r} requires packable bounds with <= 2^23 "
+            f"bins (got bounds={bounds!r}); use binning='auto' to allow "
+            "the unbounded 3-key-sort fallback"
+        )
+    if binning == "mxu":
+        from .mxu_histogram import MXU_HISTOGRAM_MAX_BINS as _MXU_MAX
+
+        K_req = spec[1][0] * spec[1][1] * spec[1][2]
+        if K_req > _MXU_MAX:
+            raise ValueError(
+                f"binning='mxu' requires K <= {_MXU_MAX} one-hot bins "
+                f"(lattice {spec[1]} has {K_req}); use 'scatter' or 'auto'"
+            )
     if packable and binning in ("auto", "mxu", "scatter"):
         # Dense-bin paths: bin into the crop box's full voxel lattice
         # (MXU matmuls or one fused scatter-add), then block-compact the
@@ -499,13 +549,20 @@ def voxel_partials(
             bins, occ2d, dims, imin, capacity, leaf_size, corner_relative,
         )
 
+    # Unbounded 3-key fallback.  Stable sort: with duplicate keys an
+    # unstable permutation would make the payload order — and hence the
+    # f32 sum association through _reduce_sorted_keys' scatter-add —
+    # backend-dependent (review r5d finding #2; same rationale as the
+    # merge sorts, ADVICE r4 #2).  The remaining caveat (duplicate-index
+    # scatter-add accumulation order inside one backend's scatter
+    # implementation) is documented at _reduce_sorted_keys.
     kx = jnp.where(valid, ijk[:, 0], _I32_MAX)
     ky = jnp.where(valid, ijk[:, 1], _I32_MAX)
     kz = jnp.where(valid, ijk[:, 2], _I32_MAX)
     kx, ky, kz, sx, sy, sz, sv = lax.sort(
         (kx, ky, kz, pts[:, 0], pts[:, 1], pts[:, 2], valid.astype(jnp.float32)),
         num_keys=3,
-        is_stable=False,
+        is_stable=True,
     )
     sorted_pts = jnp.stack([sx, sy, sz], axis=-1) * sv[:, None]
     return _reduce_sorted_keys(kx, ky, kz, sorted_pts, sv, capacity)
@@ -683,7 +740,9 @@ def merge_voxel_partials(
             partials.counts,
         ),
         num_keys=3,
-        is_stable=False,
+        # stable: deterministic duplicate-key payload order (ADVICE r4 #2
+        # / review r5d finding #2 — same contract as every other merge sort)
+        is_stable=True,
     )
     return _reduce_sorted_keys(kx, ky, kz, jnp.stack([sx, sy, sz], -1), cnt, capacity)
 

@@ -131,6 +131,32 @@ def test_voxel_payload_packing_requires_sort_engine():
         voxel_downsample(cloud, 0.1, 32, payload_packing=True)
 
 
+def test_explicit_engine_requests_never_silently_substitute():
+    """An EXPLICIT binning= request must run the engine it names or raise
+    (review r5d finding #1): silent substitution changes sum-precision
+    semantics.  Only 'auto' may fall through between engines."""
+    from pointcloud_obstacle_processing_tpu.ops.voxel import voxel_partials
+
+    cloud = Cloud(
+        points=np.zeros((128, 3), np.float32), valid=np.zeros(128, bool)
+    )
+    # unknown engine string
+    with pytest.raises(ValueError, match="unknown voxel binning"):
+        voxel_partials(cloud, 0.1, 128, bounds=None, binning="Sort")
+    # explicit dense engines without packable bounds
+    for eng in ("mxu", "scatter"):
+        with pytest.raises(ValueError, match="packable bounds"):
+            voxel_partials(cloud, 0.1, 128, bounds=None, binning=eng)
+    # explicit mxu beyond its one-hot bin ceiling (0.015 leaf over the
+    # full crop box: ~3.9M bins >> 2^19)
+    big_bounds = ((0.0, 0.0, -0.5), (4.5, 3.78, 0.25))
+    with pytest.raises(ValueError, match="one-hot bins"):
+        voxel_partials(cloud, 0.015, 128, bounds=big_bounds, binning="mxu")
+    # 'auto' still falls through to the unbounded fallback without error
+    out = voxel_partials(cloud, 0.1, 128, bounds=None, binning="auto")
+    assert int(out.num_voxels) == 0
+
+
 def test_voxel_scene_reduces_ground(rng):
     scene = make_scene(seed=1)
     cloud = Cloud.pad_to(scene.points, 131072)
