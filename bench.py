@@ -326,7 +326,7 @@ def main():
     )
     for flag in (
         "voxel_overflow", "cluster_overflow", "cluster_band_overflow",
-        "planes_truncated",
+        "planes_truncated", "cluster_unconverged",
     ):
         v = np.asarray(getattr(result.stats, flag))
         if v.any():

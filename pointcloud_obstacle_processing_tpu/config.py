@@ -229,6 +229,15 @@ class PipelineConfig:
             )
         if self.cluster_band_window % 128:
             raise ValueError("cluster_band_window must be a multiple of 128")
+        if self.cluster_band_window and self.cluster_capacity % 128:
+            # the banded sweep tiles queries per-128; a non-128 capacity
+            # would silently fall back to the C^2 full sweep with no flag
+            # (review r5e finding #3)
+            raise ValueError(
+                "cluster_band_window requires cluster_capacity to be a "
+                f"multiple of 128 (got {self.cluster_capacity}); set "
+                "cluster_band_window=0 for the full sweep"
+            )
 
 
 # params.yaml:1-31 values — the configuration the robot actually shipped with.

@@ -49,11 +49,21 @@ ONEHOT_SEGMENT_MAX = 2048
 __all__ = ["euclidean_cluster", "cluster_centroids", "ClusterOutput"]
 
 
-def _sweep_tile_size(n: int) -> int:
+def _sweep_tile_size(n: int, cols: int | None = None) -> int:
     """Query-tile height for the Pallas sweep: the largest divisor of n
-    that is a multiple of 8, capped so a [T, n] f32 tile stays ~4 MB
-    (VMEM holds a few such temporaries); 0 if none exists."""
-    cap = min(n, 256, max(8, (1 << 20) // max(n, 1)))
+    that is a multiple of 8, capped so a [T, cols] f32 tile stays ~4 MB
+    (VMEM holds a few such temporaries); 0 if none exists — including
+    when even the smallest [8, cols] tile would blow the budget (huge
+    column tables fall back to the XLA sweep instead of a Mosaic VMEM
+    failure; review r5e finding #5).  ``cols`` defaults to ``n``; the
+    SHARDED caller passes the full column-table width, which is what the
+    kernel's temporaries actually span — sizing by the per-shard query
+    count alone over-tiles (review r5e finding #2)."""
+    cols = n if cols is None else cols
+    budget = (1 << 20) // max(cols, 1)
+    if budget < 8:
+        return 0
+    cap = min(n, 256, budget)
     for t in range(cap, 7, -1):
         if n % t == 0 and t % 8 == 0:
             return t
@@ -459,6 +469,17 @@ def _neighbor_min_sweep(
     """One fused ``label[i] <- min over {i} ∪ neighbors(i) ∪ {label[label[i]]}``
     pass.  Pallas VMEM kernel on TPU, identical-arithmetic XLA tiles
     elsewhere (and for capacities the kernel's tiling cannot cover).
+
+    Cross-backend caveat (review r5e finding #4): on TPU the PALLAS
+    kernel runs, whose Mosaic-compiled d2 may FMA-contract differently
+    from the XLA expression — a pair whose d2 lands within ~1 ulp of
+    tol2 could therefore flip its adjacency bit vs the CPU run, changing
+    labels.  This is a measure-zero data coincidence, not a structural
+    guarantee: the full-pipeline TPU<->CPU crosscheck validates it
+    EMPIRICALLY on the benchmarked scenes (bit-identical grids observed
+    every round), and the seed margin above keeps chain seeding strictly
+    inside what either arithmetic accepts.  The XLA-vs-XLA paths (CPU
+    test suite, the fallback tiles) ARE structurally bit-identical.
     ``band``: optional (tile, window, starts) from ``_band_starts`` — the
     sweep then scores only each tile's x-envelope window.  ``tile_live``:
     optional [tiles] frontier flags (see the banded kernel's skip note);
@@ -488,7 +509,7 @@ def _neighbor_min_sweep(
             return _xla_sweep_jump_banded(
                 pts, valid, labels, tol2, btile, window, starts, qslice=qslice
             )
-        tile = _sweep_tile_size(q_len)
+        tile = _sweep_tile_size(q_len, cols=n)
         if use_pallas and tile:
             return _pallas_sweep_jump(
                 pts, valid, labels, float(tol2), tile, qslice=qslice
@@ -518,6 +539,10 @@ class ClusterOutput(NamedTuple):
     # exceeded it — edges past the window were dropped (clusters may
     # split); False when band_window == 0 (full sweep)
     band_overflow: jax.Array = jnp.bool_(False)
+    # [] bool: label propagation hit cluster_max_iters with changes still
+    # pending — labels are NOT at the fixpoint (clusters may split);
+    # raise cluster_max_iters
+    unconverged: jax.Array = jnp.bool_(False)
 
 
 def euclidean_cluster(
@@ -571,14 +596,23 @@ def euclidean_cluster(
     # under-approximation of the component (labels[i] = index of an
     # in-component point <= i) converges to the SAME fixpoint (the
     # component min index), just in fewer sweeps (~7-8 -> ~4 measured).
-    # The threshold carries a 1e-6 relative margin so a seed edge can
-    # never exceed what the sweep's own (possibly FMA-contracted) d2
-    # arithmetic would reject — over-merges are irreversible, borderline
-    # pairs are left for the sweeps.
+    # The threshold carries a margin so a seed edge can never exceed what
+    # the sweep's own (possibly FMA-contracted) d2 arithmetic would
+    # reject — over-merges are irreversible, borderline pairs are left
+    # for the sweeps.  The sweep computes d2 in the EXPANDED
+    # |p|^2+|q|^2-2p.q form, whose cancellation error is ABSOLUTE
+    # (~|p|^2 * f32-eps): a purely relative tol2*1e-6 margin under-covers
+    # whenever tol2 << |p|^2 (review r5e finding #1), so the margin also
+    # carries an absolute term of 2^-20 * max|p|^2 (~8x the worst-case
+    # expanded-form error; p is centered above, bounding max|p|^2 by the
+    # cloud's extent).  Seeding is an under-approximation: a too-wide
+    # margin only costs sweeps, never correctness.
     prev = jnp.concatenate([p[:1], p[:-1]], axis=0)
     gap2 = jnp.sum((p - prev) * (p - prev), axis=-1)
     prev_valid = jnp.concatenate([jnp.zeros((1,), bool), valid[:-1]])
-    chain = valid & prev_valid & (gap2 <= tol2 * (1.0 - 1e-6))
+    maxsq = jnp.max(jnp.where(valid, jnp.sum(p * p, axis=-1), 0.0))
+    seed_thresh = tol2 * (1.0 - 1e-6) - maxsq * (2.0**-20)
+    chain = valid & prev_valid & (gap2 <= seed_thresh)
     head = valid & ~chain
     run_head = jnp.where(head, idx, -1)
     d = 1
@@ -669,9 +703,14 @@ def euclidean_cluster(
             new = jnp.minimum(new, new[new])
         return (new, new != labels, it + 1)
 
-    labels, _, _ = lax.while_loop(
+    labels, final_changed, _ = lax.while_loop(
         cond, body, (labels0, jnp.ones((n,), bool), jnp.int32(0))
     )
+    # exit with changes still pending means the iteration bound bit, not
+    # the fixpoint: labels may name multiple roots per true component
+    # (split clusters).  Observable like every other truncation (review
+    # r5e finding #6).
+    unconverged = jnp.any(final_changed)
 
     # ---- component sizes & size gate --------------------------------------
     if n <= ONEHOT_SEGMENT_MAX:
@@ -718,6 +757,7 @@ def euclidean_cluster(
         root_slot=root_slot,
         overflow=num_clusters_total > max_clusters,
         band_overflow=band_overflow,
+        unconverged=unconverged,
     )
 
 
@@ -743,7 +783,11 @@ def cluster_centroids(cloud: Cloud, clusters: ClusterSet) -> PointIndicesArray:
     wm = member.astype(jnp.float32)
 
     x, y, z = cloud.points[:, 0], cloud.points[:, 1], cloud.points[:, 2]
-    counts = jnp.sum(wm, axis=0)
+    # member counts already exist as clusters.sizes (same definition:
+    # valid points of each slotted root) — one source of truth, one less
+    # [n, m] reduction pass; int32 < 2^24 casts to f32 exactly, so inv
+    # and the centroids are bitwise unchanged (review r5e finding #7)
+    counts = clusters.sizes.astype(jnp.float32)
     inv = 1.0 / jnp.maximum(counts, 1.0)
     cx = jnp.sum(wm * x[:, None], axis=0) * inv
     cy = jnp.sum(wm * y[:, None], axis=0) * inv

@@ -211,6 +211,7 @@ def _post_voxel(
         cluster_overflow=comp.overflow,
         cluster_band_overflow=clus.band_overflow,
         planes_truncated=seg.truncated,
+        cluster_unconverged=clus.unconverged,
     )
 
     debug = {}

@@ -340,6 +340,7 @@ class ObstacleDetectionNode:
                 "cluster_overflow": bool(s.cluster_overflow),
                 "cluster_band_overflow": bool(s.cluster_band_overflow),
                 "planes_truncated": bool(s.planes_truncated),
+                "cluster_unconverged": bool(s.cluster_unconverged),
             }
         )
         if bool(s.cluster_band_overflow):
@@ -366,6 +367,13 @@ class ObstacleDetectionNode:
                 " unsegmented — the reference's unbounded plane loop would"
                 " have continued; raise max_planes",
                 seq, cfg.max_planes, 100.0 * cfg.plane_min_remaining_frac,
+            )
+        if bool(s.cluster_unconverged):
+            log.warning(
+                "cycle %d: cluster label propagation hit cluster_max_iters"
+                "=%d before the fixpoint — clusters may be split; raise"
+                " cluster_max_iters",
+                seq, cfg.cluster_max_iters,
             )
         log.info(
             "cycle %d publish: %.1f ms | in=%d cropped=%d voxels=%d inliers=%d "

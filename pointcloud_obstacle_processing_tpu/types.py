@@ -186,6 +186,10 @@ class StageStats(struct.PyTreeNode):
     # (> plane_min_remaining_frac of points still unsegmented, last round
     # found a plane)
     planes_truncated: jax.Array
+    # bool: cluster label propagation hit cluster_max_iters with changes
+    # still pending — labels are not at the fixpoint (clusters may
+    # split); raise cluster_max_iters
+    cluster_unconverged: jax.Array
 
 
 class PipelineResult(struct.PyTreeNode):

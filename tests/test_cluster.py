@@ -300,3 +300,44 @@ def test_banded_sweep_fidelity_at_shipped_fullscale_knobs():
         np.asarray(band.clusters.point_cluster),
     )
     assert int(band.clusters.num_clusters) >= 1
+
+
+def test_unconverged_flag_raises_when_max_iters_binds(rng):
+    """Hitting cluster_max_iters before the label fixpoint must be
+    observable (review r5e finding #6): a permuted long chain cannot
+    converge in one sweep, and the flag distinguishes split-by-bound
+    labels from a true fixpoint."""
+    # a 200-point chain with 0.1 spacing, randomly permuted: one true
+    # component that needs several sweeps+hooks to collapse
+    pts = np.zeros((200, 3), np.float32)
+    pts[:, 0] = np.arange(200) * 0.1
+    pts = pts[rng.permutation(200)]
+    cloud = Cloud.pad_to(pts, 256)
+
+    starved = jax.jit(
+        lambda c: euclidean_cluster(c, 0.15, 1, 20000, 16, max_iters=1)
+    )(cloud)
+    assert bool(starved.unconverged)
+
+    converged = jax.jit(
+        lambda c: euclidean_cluster(c, 0.15, 1, 20000, 16, max_iters=64)
+    )(cloud)
+    assert not bool(converged.unconverged)
+    assert int(converged.clusters.num_clusters) == 1
+
+
+def test_band_window_capacity_config_contract():
+    """cluster_band_window with a non-128-multiple cluster_capacity would
+    silently drop the band (full C^2 sweep, no flag) — config validation
+    must reject the combination (review r5e finding #3)."""
+    from pointcloud_obstacle_processing_tpu import REFERENCE_YAML_CONFIG
+
+    bad = REFERENCE_YAML_CONFIG.replace(
+        cluster_capacity=4104, cluster_band_window=4096
+    )
+    with pytest.raises(ValueError, match="multiple of 128"):
+        bad.validate()
+    # band off: the 8-multiple capacity stays legal
+    REFERENCE_YAML_CONFIG.replace(
+        cluster_capacity=4104, cluster_band_window=0
+    ).validate()
