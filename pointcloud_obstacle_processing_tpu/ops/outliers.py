@@ -349,7 +349,11 @@ def knn_mean_distances(
         the sorted width from N to 128 + N*k/128."""
         T, N = d2.shape
         chunk = 128
-        if N % chunk or N // chunk < 2:
+        # kk > chunk: a chunk-local top-k can't produce more candidates
+        # than the chunk holds — flat top_k handles wide k (review r5f
+        # finding #1: backend='exact' with mean_k > 128 previously failed
+        # at trace time)
+        if N % chunk or N // chunk < 2 or kk > chunk:
             neg, _ = lax.top_k(-d2, kk)
             return -neg
         c = d2.reshape(T, N // chunk, chunk)
@@ -535,6 +539,12 @@ def knn_mean_distances(
             operands = operands + (tile_live,)
         out = _map_query_tiles(band_tile_fn, operands)
     else:
+        # NOTE (review r5f finding #2): these [*, 3] channel-minor stacks
+        # lane-pad 3 -> 128 on TPU (CLAUDE.md layout facts) — a known
+        # inefficiency of this NON-default full-width path (the shipped
+        # banded path passes channel-separate operands).  Left as-is:
+        # re-laying out _score_tile is unmeasured churn on a path only
+        # reached via backend='approx'/'exact' overrides.
         p2d = jnp.stack(pch, axis=-1)
         q_p = jnp.stack(q_ch, axis=-1)
 

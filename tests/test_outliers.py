@@ -325,3 +325,26 @@ def test_banded_fidelity_at_shipped_fullscale_knobs():
     flips = float(np.mean(keep_e != keep_b))
     print(f"fullscale-density keep-decision flips: {flips:.5f} over {v.sum()} voxels")
     assert flips < 1e-3, flips
+
+
+def test_exact_backend_supports_wide_k(rng):
+    """backend='exact' with mean_k > 128 must work: the hierarchical
+    top-k falls back to the flat form when k exceeds its chunk width
+    (review r5f finding #1 — previously a trace-time ValueError)."""
+    import jax
+
+    from pointcloud_obstacle_processing_tpu.ops.outliers import knn_mean_distances
+
+    pts = rng.uniform(0, 2, (300, 3)).astype(np.float32)
+    cloud = Cloud.pad_to(pts, 2048)
+    d = jax.jit(
+        lambda c: knn_mean_distances(c, 150, backend="exact")
+    )(cloud)
+    got = np.asarray(d)[:300]
+    # oracle: mean distance to the 150 nearest neighbors (self excluded)
+    from scipy.spatial import cKDTree
+
+    t = cKDTree(pts)
+    dd, _ = t.query(pts, k=151)
+    want = dd[:, 1:].mean(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
